@@ -1,0 +1,141 @@
+"""Typed configuration for the framework.
+
+Default hyperparameter values replicate the reference's flat constants module
+(/root/reference/src/config/configuration.py:1-25) so that runs are
+comparable; unlike the reference these are real dataclasses with per-run
+overrides instead of star-imported module globals.
+
+Reference quirk ledger (SURVEY.md §7.1):
+  Q1  hidden size defaults to 128 (the value actually used everywhere in the
+      reference), not the dead HIDDEN_SIZE=256 constant.
+  Q2  ``per_episode_updates=True`` reproduces the reference's 200 sequential
+      Adam steps per training batch (trainer.py:81-139); False enables the
+      fused batched update (fast mode).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    input_size: int = 198  # reference policy_network.py:36
+    hidden_size: int = 128  # Q1: reference default, policy_network.py:36
+    # 'sigmoid' matches reference policy_network.py:67; 'relu' is the
+    # commented-out alternative at :68.
+    activation: str = "sigmoid"
+    # Compute dtype for the value-net forward pass. float32 by default for
+    # checkpoint-parity; bfloat16 for peak MXU throughput.
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    # Cap on actions presented per decision (reference backgammon_env.py:35,
+    # max_legal_moves=500). Fixed-shape analog: afterstate axis length.
+    max_legal_moves: int = 500
+    # Episode step cap (reference configuration.py:4 MAX_TIMESTEPS; note the
+    # reference counts env.step calls including auto-passes, worker.py:101).
+    max_timesteps: int = 300
+    # Rewards, reference backgammon_env.py:20-26.
+    reward_pass: float = 0.0
+    reward_invalid: float = -1.0
+    reward_win_normal: float = 1.0
+    reward_win_gammon: float = 2.0
+    reward_win_backgammon: float = 2.5
+    reward_close_out: float = 0.30
+    reward_five_prime: float = 0.20
+    # One-time shaping rewards per player per game (backgammon_env.py:196-213).
+    shaping_rewards: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MoveGenConfig:
+    """Width caps for the fixed-shape move enumerator.
+
+    The reference enumerates moves with unbounded Python recursion
+    (handle_move_types.py); a fixed-shape XLA program needs static caps.
+    Caps below are validated empirically against the oracle (see
+    tests/test_movegen_widths.py); exceeding a cap drops the highest-rank
+    (latest in reference enumeration order) candidates, which is exactly the
+    truncation the reference's 500-move env cap applies at the end
+    (backgammon_env.py:262-272).
+    """
+
+    # Doubles level-wise frontier widths (unique boards after k submoves).
+    w1: int = 16  # <= 15 origins with checkers is a hard bound
+    w2: int = 128
+    w3: int = 288
+    w4: int = 512
+    # Final presented-action cap; mirrors EnvConfig.max_legal_moves.
+    a_max: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_games: int = 256  # parallel games per rollout (reference: 7 procs x 1 game)
+    episodes_per_update: int = 200  # reference configuration.py:7 MIN_EPISODES_TO_TRAIN
+    total_episodes: int = 10_000_000  # reference configuration.py:5
+    gamma: float = 0.99  # reference configuration.py:15
+    learning_rate: float = 1e-3  # reference configuration.py:17
+    grad_clip: float = 1.0  # reference configuration.py:18
+    # Q2: True = reference-parity sequential per-episode Adam steps.
+    per_episode_updates: bool = True
+    # Temperature schedule (reference configuration.py:23-25 and
+    # parameter_manager.py:93-111: linear in the update counter).
+    initial_temperature: float = 1.5
+    final_temperature: float = 0.5
+    temperature_decay_updates: int = 4000
+    # Rollout style: 'sync' freezes finished games until the whole batch's
+    # episodes complete (episode semantics identical to the reference);
+    # 'continuous' auto-resets finished games so every lockstep step does
+    # useful work (fast mode; episodes become buffer segments).
+    rollout_mode: str = "sync"
+    seed: int = 0
+    checkpoint_every_episodes: int = 50_000  # reference configuration.py:6
+    checkpoint_dir: str = "checkpoints"
+    metrics_dir: str = "runs"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. The value net is tiny (198->128->1) so data
+    parallelism over the game batch is the only profitable axis
+    (SURVEY.md §2.2); tensor/pipeline/sequence/expert axes are structurally
+    inapplicable to this model family but the axis names are reserved so the
+    same code path compiles on richer meshes."""
+
+    data: int = 1
+    model: int = 1
+    axis_names: Tuple[str, ...] = ("data", "model")
+
+
+@dataclasses.dataclass(frozen=True)
+class TwoPlyConfig:
+    """2-ply expectimax scorer (reference two_ply.py:44-150, Q13)."""
+
+    enabled: bool = False
+    alpha: float = 1.0  # weight on own afterstate value (two_ply.py:50)
+    beta: float = 0.9  # weight on opponent expected response (two_ply.py:51)
+    top_k_candidates: int = 4  # rerank the top-4 1-ply moves (two_ply.py:67-70)
+    top_n_responses: int = 5  # mean of top-5 opponent values (two_ply.py:136-142)
+    # reference subsamples [1,1],[2,2],[3,3] to 50 moves via random.sample
+    # (two_ply.py:119-121); we keep the *first* 50 in enumeration order so the
+    # scorer is deterministic (documented divergence).
+    small_double_cap: int = 50
+    # Afterstate cap for opponent-reply enumeration inside the scorer.
+    reply_a_max: int = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    env: EnvConfig = dataclasses.field(default_factory=EnvConfig)
+    movegen: MoveGenConfig = dataclasses.field(default_factory=MoveGenConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    twoply: TwoPlyConfig = dataclasses.field(default_factory=TwoPlyConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
