@@ -1,0 +1,128 @@
+"""On-device batched actor: movegen -> encode -> one fused value pass ->
+softmax(V/T) sampling -> env step, scanned over time.
+
+Collapses the reference's 7-process worker/queue/param-server pipeline
+(/root/reference/src/multi/worker.py:78-174, experience_queue.py,
+parameter_manager.py) into a single jitted program: the batch axis replaces
+worker processes, weights are already on device (staleness 0, SURVEY.md
+§2.2), and the episode buffer is a scanned stack of compact transitions.
+
+Per decision the reference concatenates the current observation with all
+afterstate features and runs ONE net forward (worker.py:115-125); we do the
+same with a [B, A+1, 198] stack so the matmul hits the MXU at full tile
+width.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mlp_ppo_2ply_multi_tpu.core.config import Config
+from mlp_ppo_2ply_multi_tpu.encoder.features import encode_board
+from mlp_ppo_2ply_multi_tpu.engine import board as B
+from mlp_ppo_2ply_multi_tpu.engine.movegen import MoveSet, legal_moves
+from mlp_ppo_2ply_multi_tpu.env import vec_env
+from mlp_ppo_2ply_multi_tpu.model import value_net
+
+_NEG = -1e9
+
+
+class Transition(NamedTuple):
+    """One lockstep env step for every game; time-stacked by lax.scan."""
+
+    packed_board: jax.Array  # int8[B, 52] board BEFORE the move
+    player: jax.Array  # int32[B] side to move at decision time
+    reward: jax.Array  # float32[B]
+    recorded: jax.Array  # bool[B] decision made (experience recorded)
+    done: jax.Array  # bool[B] episode ended with a win on this step
+    boundary: jax.Array  # bool[B] episode boundary after this step (win or trunc)
+    value: jax.Array  # float32[B] V(obs) at decision time (diagnostics)
+    win_type: jax.Array  # int8[B]
+    close_out: jax.Array  # bool[B]
+    prime: jax.Array  # bool[B]
+    num_moves: jax.Array  # int32[B] legal move count (diagnostics)
+
+
+def select_action(
+    params,
+    state: vec_env.EnvState,
+    moves: MoveSet,
+    key: jax.Array,
+    temperature: jax.Array,
+    cfg: Config,
+) -> Tuple[jax.Array, jax.Array]:
+    """softmax(V/T) sampling over afterstate values (worker.py:136-143).
+
+    Returns (action, v_obs). The current observation is evaluated in the same
+    forward pass as the candidates, mirroring worker.py:115-125.
+    """
+    obs = encode_board(state.board, state.player)  # [B, 198]
+    cand = encode_board(moves.boards, state.player[..., None])  # [B, A, 198]
+    x = jnp.concatenate([obs[..., None, :], cand], axis=-2)  # [B, A+1, 198]
+    v = value_net.forward(params, x, cfg.model)  # [B, A+1]
+    v_obs, v_moves = v[..., 0], v[..., 1:]
+    logits = jnp.where(moves.valid, v_moves / temperature, _NEG)
+    action = jax.random.categorical(key, logits, axis=-1)
+    return action, v_obs
+
+
+def rollout_step(
+    params,
+    state: vec_env.EnvState,
+    key: jax.Array,
+    temperature: jax.Array,
+    cfg: Config,
+    continuous: bool,
+) -> Tuple[vec_env.EnvState, Transition]:
+    k_act, k_roll, k_reset = jax.random.split(key, 3)
+    moves = legal_moves(state.board, state.player, state.dice, cfg.movegen)
+    action, v_obs = select_action(params, state, moves, key=k_act, temperature=temperature, cfg=cfg)
+    next_dice = vec_env.roll_dice(k_roll, state.player.shape)
+    res = vec_env.step(state, moves, action, next_dice, cfg.env)
+
+    trunc = ~res.state.game_over & (res.state.step_count >= cfg.env.max_timesteps)
+    t = Transition(
+        packed_board=B.pack_board(state.board),
+        player=state.player,
+        reward=res.reward,
+        recorded=res.recorded,
+        done=res.done,
+        boundary=res.done | trunc,
+        value=v_obs,
+        win_type=res.win_type,
+        close_out=res.close_out_bonus,
+        prime=res.prime_bonus,
+        num_moves=moves.count,
+    )
+    new_state = res.state
+    if continuous:
+        new_state = vec_env.reset_where(res.done | trunc, new_state, k_reset)
+    return new_state, t
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps", "continuous"))
+def rollout(
+    params,
+    state: vec_env.EnvState,
+    key: jax.Array,
+    temperature: jax.Array,
+    cfg: Config,
+    num_steps: int,
+    continuous: bool = False,
+) -> Tuple[vec_env.EnvState, Transition]:
+    """Scan ``num_steps`` lockstep steps; returns final state and a [T, B]
+    transition stack. In sync mode (continuous=False) call with a freshly
+    reset state and num_steps = cfg.env.max_timesteps so every column is one
+    complete (or 300-step-truncated, Q9) episode."""
+
+    def body(carry, _):
+        st, k = carry
+        k, sub = jax.random.split(k)
+        st, t = rollout_step(params, st, sub, temperature, cfg, continuous)
+        return (st, k), t
+
+    (state, _), traj = jax.lax.scan(body, (state, key), None, length=num_steps)
+    return state, traj

@@ -42,14 +42,15 @@ def encode_board(board: Board, player: jax.Array, dtype=jnp.float32) -> jax.Arra
 
     bar = board.bar.astype(dtype)
     off = board.off.astype(dtype)
+    bs = bar[..., 0].shape  # board batch shape (player may broadcast into it)
     tail = jnp.stack(
         [
             bar[..., 0] / 2.0,
             off[..., 0] / 15.0,
             bar[..., 1] / 2.0,
             off[..., 1] / 15.0,
-            (player == 0).astype(dtype),
-            (player == 1).astype(dtype),
+            jnp.broadcast_to((player == 0).astype(dtype), bs),
+            jnp.broadcast_to((player == 1).astype(dtype), bs),
         ],
         axis=-1,
     )
