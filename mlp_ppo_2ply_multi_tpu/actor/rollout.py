@@ -79,7 +79,16 @@ def rollout_step(
 ) -> Tuple[vec_env.EnvState, Transition]:
     k_act, k_roll, k_reset = jax.random.split(key, 3)
     moves = legal_moves(state.board, state.player, state.dice, cfg.movegen)
-    action, v_obs = select_action(params, state, moves, key=k_act, temperature=temperature, cfg=cfg)
+    if cfg.twoply.enabled:
+        from mlp_ppo_2ply_multi_tpu.twoply.expectimax import select_action_2ply
+
+        action, v_obs = select_action_2ply(
+            params, state, moves, key=k_act, temperature=temperature, cfg=cfg
+        )
+    else:
+        action, v_obs = select_action(
+            params, state, moves, key=k_act, temperature=temperature, cfg=cfg
+        )
     next_dice = vec_env.roll_dice(k_roll, state.player.shape)
     res = vec_env.step(state, moves, action, next_dice, cfg.env)
 

@@ -1,0 +1,191 @@
+"""Training CLI — replaces the reference's orchestrator
+(/root/reference/src/main.py) with a single-program on-device actor-learner.
+
+Two rollout modes (TrainConfig.rollout_mode):
+  * ``sync``   — reference-comparable episode semantics: reset B games, play
+    them to completion (or the 300-step cap, Q9), then update. With
+    --per-episode-updates this reproduces the reference's 200 sequential Adam
+    steps per batch (Q2).
+  * ``continuous`` — the fast path: finished games auto-reset so every
+    lockstep step does useful work; updates happen every --steps-per-update
+    env steps; runs SPMD over a {data, model} device mesh.
+
+Usage:
+    python -m mlp_ppo_2ply_multi_tpu.apps.train --mode continuous \
+        --batch-games 4096 --updates 1000 [--data N --model M]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import jax
+
+# Some transitive imports (optax/orbax) may initialize the JAX backend, after
+# which jax_platforms can no longer change — honor the env override first.
+if os.environ.get("MLP_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MLP_TPU_PLATFORM"])
+import jax.numpy as jnp
+import numpy as np
+
+from mlp_ppo_2ply_multi_tpu.core.config import Config, MoveGenConfig, TrainConfig
+from mlp_ppo_2ply_multi_tpu.actor import rollout as actor
+from mlp_ppo_2ply_multi_tpu.env import vec_env
+from mlp_ppo_2ply_multi_tpu.io import checkpoint as ckpt
+from mlp_ppo_2ply_multi_tpu.io.metrics import MetricsWriter, Throughput
+from mlp_ppo_2ply_multi_tpu.learner import td
+from mlp_ppo_2ply_multi_tpu.parallel import sharding
+
+
+def build_config(args) -> Config:
+    train = TrainConfig(
+        batch_games=args.batch_games,
+        per_episode_updates=args.per_episode_updates,
+        rollout_mode=args.mode,
+        seed=args.seed,
+        checkpoint_every_episodes=args.checkpoint_every,
+        checkpoint_dir=args.checkpoint_dir,
+        metrics_dir=args.metrics_dir,
+    )
+    cfg = Config(train=train)
+    if args.small_movegen:
+        cfg = dataclasses.replace(
+            cfg, movegen=MoveGenConfig(w1=16, w2=32, w3=48, w4=64, a_max=64)
+        )
+    if args.max_timesteps is not None:
+        cfg = dataclasses.replace(
+            cfg, env=dataclasses.replace(cfg.env, max_timesteps=args.max_timesteps)
+        )
+    return cfg
+
+
+def train_sync(cfg: Config, args, writer: MetricsWriter) -> td.TrainState:
+    """Single-device episode-synchronous training (reference semantics)."""
+    key = jax.random.PRNGKey(cfg.train.seed)
+    key, k_init = jax.random.split(key)
+    state = td.init_train_state(k_init, cfg)
+    if args.resume:
+        state, key, step0 = ckpt.restore(cfg.train.checkpoint_dir, state)
+        print(f"resumed from step {step0}")
+
+    tput = Throughput()
+    last_saved = int(state.episode_count)
+    B, T = cfg.train.batch_games, cfg.env.max_timesteps
+    for u in range(args.updates):
+        key, k_reset, k_roll = jax.random.split(key, 3)
+        env_state = vec_env.reset(k_reset, B)
+        temp = td.temperature(state.version, cfg)
+        env_state, traj = actor.rollout(
+            state.params, env_state, k_roll, temp, cfg, T, continuous=False
+        )
+        state, metrics = td.update(state, traj, cfg)
+        metrics = jax.device_get(metrics)
+        tput.add(episodes=B, env_steps=B * T)
+        writer.scalars(
+            int(state.episode_count),
+            {**{k: float(v) for k, v in metrics.items()}, **tput.rates(),
+             "temperature": float(temp)},
+        )
+        if int(state.episode_count) - last_saved >= cfg.train.checkpoint_every_episodes:
+            ckpt.save(cfg.train.checkpoint_dir, state, key)
+            last_saved = int(state.episode_count)
+        if u % max(1, args.log_every) == 0:
+            print(
+                f"update {u} episodes {int(state.episode_count)} "
+                f"loss {metrics['loss']:.5f} eps/s {tput.rates()['eps_per_sec']:.1f}"
+            )
+    return state, key
+
+
+def train_continuous(cfg: Config, args, writer: MetricsWriter) -> td.TrainState:
+    """SPMD continuous training over a {data, model} mesh."""
+    mesh = sharding.make_mesh(args.data, args.model)
+    tp = args.model > 1
+    key = jax.random.PRNGKey(cfg.train.seed)
+    key, k_init, k_env = jax.random.split(key, 3)
+    state = td.init_train_state(k_init, cfg)
+    if args.resume:
+        state, key, step0 = ckpt.restore(cfg.train.checkpoint_dir, state)
+        print(f"resumed from step {step0}")
+    env_state = vec_env.reset(k_env, cfg.train.batch_games)
+    state = sharding.shard_train_state(state, mesh, tp=tp)
+    env_state = sharding.shard_env_state(env_state, mesh)
+
+    step_fn = sharding.make_train_step(mesh, cfg, args.steps_per_update, tp=tp)
+    tput = Throughput()
+    last_saved = int(jax.device_get(state.episode_count))
+    for u in range(args.updates):
+        key, sub = jax.random.split(key)
+        state, env_state, metrics = step_fn(state, env_state, sub)
+        metrics = jax.device_get(metrics)
+        tput.add(
+            episodes=int(metrics["episodes_done"]), env_steps=int(metrics["env_steps"])
+        )
+        writer.scalars(
+            int(jax.device_get(state.episode_count)),
+            {**{k: float(v) for k, v in metrics.items()}, **tput.rates()},
+        )
+        ec = int(jax.device_get(state.episode_count))
+        if ec - last_saved >= cfg.train.checkpoint_every_episodes:
+            ckpt.save(cfg.train.checkpoint_dir, jax.device_get(state), key)
+            last_saved = ec
+        if u % max(1, args.log_every) == 0:
+            r = tput.rates()
+            print(
+                f"update {u} episodes {ec} loss {metrics['loss']:.5f} "
+                f"env-steps/s {r['env_steps_per_sec']:.0f}"
+            )
+    return state, key
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", choices=("sync", "continuous"), default="continuous")
+    ap.add_argument("--batch-games", type=int, default=256)
+    ap.add_argument("--updates", type=int, default=100)
+    ap.add_argument("--steps-per-update", type=int, default=64)
+    ap.add_argument("--per-episode-updates", action="store_true",
+                    help="Q2 parity: sequential Adam step per episode (sync mode)")
+    ap.add_argument("--data", type=int, default=None,
+                    help="data-axis mesh size (default: all devices / --model)")
+    ap.add_argument("--model", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--checkpoint-dir", default="checkpoints")
+    ap.add_argument("--checkpoint-every", type=int, default=50_000)
+    ap.add_argument("--metrics-dir", default="runs")
+    ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--small-movegen", action="store_true",
+                    help="reduced enumeration widths (fast compile, CPU smoke)")
+    ap.add_argument("--max-timesteps", type=int, default=None,
+                    help="override episode step cap (default 300, Q9)")
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                    help="force a JAX backend (must be set before first use)")
+    args = ap.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.data is None:
+        args.data = max(1, len(jax.devices()) // args.model)
+
+    cfg = build_config(args)
+    writer = MetricsWriter(cfg.train.metrics_dir)
+    t0 = time.time()
+    if args.mode == "sync":
+        state, key = train_sync(cfg, args, writer)
+    else:
+        state, key = train_continuous(cfg, args, writer)
+    state = jax.device_get(state)
+    ckpt.save(cfg.train.checkpoint_dir, state, key)
+    writer.close()
+    print(
+        f"done: {int(state.episode_count)} episodes, "
+        f"{int(state.version)} updates in {time.time() - t0:.1f}s"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

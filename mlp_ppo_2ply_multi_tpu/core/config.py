@@ -28,6 +28,10 @@ class ModelConfig:
     # Compute dtype for the value-net forward pass. float32 by default for
     # checkpoint-parity; bfloat16 for peak MXU throughput.
     dtype: str = "float32"
+    # When set (inside shard_map over a mesh axis with this name), the hidden
+    # layer is tensor-parallel: w1/b1 are column-sharded, w2 row-sharded, and
+    # the head matmul's partial sums are reduced with psum over this axis.
+    model_axis: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

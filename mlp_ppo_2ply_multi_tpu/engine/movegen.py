@@ -251,10 +251,10 @@ def dedup_compact(
     """
     n = h1.shape[-1]
     inval = (~valid).astype(jnp.uint8)
-    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), h1.shape)
-    # idx as the least-significant key guarantees ascending original order
-    # within duplicate groups independent of sort stability.
-    perm = jnp.lexsort((idx, h2, h1, inval), axis=-1)
+    # jnp.lexsort is stable, so equal (inval, h1, h2) groups keep ascending
+    # original order without an explicit index key — one fewer sort operand
+    # over the hot path's widest arrays.
+    perm = jnp.lexsort((h2, h1, inval), axis=-1)
     take = lambda a: jnp.take_along_axis(a, perm, axis=-1)
     v_s, h1_s, h2_s = take(valid), take(h1), take(h2)
 

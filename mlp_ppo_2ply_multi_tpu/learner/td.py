@@ -111,7 +111,7 @@ def episode_loss_and_metrics(params, obs, reward, recorded, boundary, cfg: Confi
     }
 
 
-def _encode_traj(traj: Transition, cfg: Config) -> jax.Array:
+def encode_traj(traj: Transition, cfg: Config) -> jax.Array:
     return encode_board(unpack_board(traj.packed_board), traj.player)
 
 
@@ -120,7 +120,7 @@ def update(state: TrainState, traj: Transition, cfg: Config):
     """One training batch over a [T, B] trajectory stack where each column is
     one episode (sync rollout). Returns (new_state, metrics)."""
     opt = make_optimizer(cfg)
-    obs = _encode_traj(traj, cfg)  # [T, B, 198]
+    obs = encode_traj(traj, cfg)  # [T, B, 198]
     grad_fn = jax.value_and_grad(episode_loss_and_metrics, has_aux=True)
 
     if cfg.train.per_episode_updates:

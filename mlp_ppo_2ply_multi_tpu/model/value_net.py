@@ -60,7 +60,20 @@ def forward(params: Params, x: jax.Array, cfg: ModelConfig) -> jax.Array:
     h = jnp.dot(x.astype(dt), params["w1"].astype(dt), preferred_element_type=jnp.float32)
     h = jax.nn.sigmoid(h + params["b1"])
     v = jnp.dot(h.astype(dt), params["w2"].astype(dt), preferred_element_type=jnp.float32)
+    if cfg.model_axis is not None:
+        # Tensor-parallel mode (inside shard_map): w1/b1 hold a column shard
+        # and w2 a row shard, so v is a partial sum over the hidden axis.
+        v = jax.lax.psum(v, cfg.model_axis)
     return (v + params["b2"]).squeeze(-1).astype(jnp.float32)
+
+
+def forward_np(params: Params, x: np.ndarray) -> np.ndarray:
+    """Pure-numpy forward for host-side single-game use (play CLI, oracle
+    differential tests); bit-identical math to the float32 jax path."""
+    w1, b1 = np.asarray(params["w1"]), np.asarray(params["b1"])
+    w2, b2 = np.asarray(params["w2"]), np.asarray(params["b2"])
+    h = 1.0 / (1.0 + np.exp(-(x @ w1 + b1)))
+    return (h @ w2 + b2)[..., 0]
 
 
 # ---------------------------------------------------------------------------

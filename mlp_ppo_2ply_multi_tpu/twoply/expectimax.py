@@ -1,0 +1,144 @@
+"""Batched 2-ply expectimax rerank.
+
+Reference semantics (/root/reference/src/multi/two_ply.py — present there only
+as dead code, wired live here as a policy option):
+
+  * the top-4 1-ply candidates by value are reranked (two_ply.py:157-192);
+  * for each candidate afterstate, the opponent's expected response is the
+    sum over the 21 distinct rolls of P(roll) * mean(top-5 opponent afterstate
+    values) (:93-150); rolls with no legal reply contribute 0 (:123);
+  * [1,1],[2,2],[3,3] replies are capped at 50 moves — the reference
+    subsamples with random.sample (:119-121), we keep the FIRST 50 in
+    enumeration order so the scorer is deterministic (documented divergence,
+    TwoPlyConfig.small_double_cap);
+  * score = alpha * V(candidate) - beta * E[opponent response], alpha=1.0,
+    beta=0.9 (:44-90);
+  * fewer than 4 legal moves -> plain 1-ply softmax selection (:157,:193).
+
+TPU shape: candidates fold into the batch axis; the 21 rolls are a lax.scan
+(keeps peak memory at one roll's reply set); every reply set is evaluated in
+one fused [B, K, A_reply, 198] value pass.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlp_ppo_2ply_multi_tpu.core.config import Config, MoveGenConfig
+from mlp_ppo_2ply_multi_tpu.encoder.features import encode_board
+from mlp_ppo_2ply_multi_tpu.engine.movegen import MoveSet, board_take, legal_moves
+from mlp_ppo_2ply_multi_tpu.env import vec_env
+from mlp_ppo_2ply_multi_tpu.model import value_net
+
+_NEG = -1e9
+
+# The 21 distinct rolls and their outcome counts /36 (two_ply.py:10-35).
+ROLLS = np.asarray(
+    [
+        [1, 1], [1, 2], [1, 3], [1, 4], [1, 5], [1, 6],
+        [2, 2], [2, 3], [2, 4], [2, 5], [2, 6],
+        [3, 3], [3, 4], [3, 5], [3, 6],
+        [4, 4], [4, 5], [4, 6],
+        [5, 5], [5, 6],
+        [6, 6],
+    ],
+    dtype=np.int32,
+)
+COUNTS = np.asarray(
+    [1, 2, 2, 2, 2, 2, 1, 2, 2, 2, 2, 1, 2, 2, 2, 1, 2, 2, 1, 2, 1],
+    dtype=np.float32,
+)
+PROBS = COUNTS / 36.0
+# [1,1],[2,2],[3,3] get the 50-move cap (two_ply.py:119-121).
+SMALL_DOUBLE = np.asarray(
+    [r[0] == r[1] and r[0] <= 3 for r in ROLLS], dtype=bool
+)
+
+
+def reply_movegen_cfg(cfg: Config) -> MoveGenConfig:
+    """Reduced-width enumeration for opponent replies; the scorer only needs
+    the top-5 values so deep doubles tails beyond reply_a_max are waste."""
+    a = cfg.twoply.reply_a_max
+    return dataclasses.replace(
+        cfg.movegen, w2=min(cfg.movegen.w2, a), w3=min(cfg.movegen.w3, a),
+        w4=min(cfg.movegen.w4, a), a_max=a,
+    )
+
+
+def weighted_opponent_response(
+    params, boards, opp: jax.Array, cfg: Config
+) -> jax.Array:
+    """E[opponent response] per candidate board (two_ply.py:93-150).
+
+    ``boards`` batch shape [..., K] (candidate afterstates), ``opp`` int[...].
+    Returns float32[..., K].
+    """
+    mg = reply_movegen_cfg(cfg)
+    opp_k = opp[..., None]  # [..., 1] broadcasts over K
+    topn = cfg.twoply.top_n_responses
+    cap = cfg.twoply.small_double_cap
+
+    rolls = jnp.asarray(ROLLS)
+    probs = jnp.asarray(PROBS)
+    small = jnp.asarray(SMALL_DOUBLE)
+
+    def per_roll(total, xs):
+        roll, prob, is_small = xs
+        dice = jnp.broadcast_to(roll, (*boards.batch_shape, 2))
+        ms = legal_moves(boards, opp_k, dice, mg)
+        idx = jnp.arange(ms.valid.shape[-1], dtype=jnp.int32)
+        valid = ms.valid & ((idx < cap) | ~is_small)
+        feats = encode_board(ms.boards, opp_k[..., None])  # [..., K, A, 198]
+        v = value_net.forward(params, feats, cfg.model)  # [..., K, A]
+        v = jnp.where(valid, v, _NEG)
+        top, _ = jax.lax.top_k(v, topn)  # [..., K, topn]
+        present = top > _NEG / 2
+        n = jnp.maximum(jnp.sum(present.astype(jnp.float32), axis=-1), 1.0)
+        avg = jnp.sum(jnp.where(present, top, 0.0), axis=-1) / n
+        has_reply = jnp.any(valid, axis=-1)
+        return total + jnp.where(has_reply, avg * prob, 0.0), None
+
+    init = jnp.zeros((*boards.batch_shape,), jnp.float32)
+    total, _ = jax.lax.scan(per_roll, init, (rolls, probs, small))
+    return total
+
+
+def select_action_2ply(
+    params,
+    state: vec_env.EnvState,
+    moves: MoveSet,
+    key: jax.Array,
+    temperature: jax.Array,
+    cfg: Config,
+) -> Tuple[jax.Array, jax.Array]:
+    """2-ply move selection: softmax(score/T) over the reranked top-k
+    candidates where >= k legal moves exist, 1-ply softmax(V/T) otherwise
+    (two_ply.py:153-193). Returns (action, v_obs)."""
+    k = cfg.twoply.top_k_candidates
+    obs = encode_board(state.board, state.player)
+    cand = encode_board(moves.boards, state.player[..., None])
+    x = jnp.concatenate([obs[..., None, :], cand], axis=-2)
+    v = value_net.forward(params, x, cfg.model)
+    v_obs, v_moves = v[..., 0], v[..., 1:]
+    v_masked = jnp.where(moves.valid, v_moves, _NEG)
+
+    topv, topi = jax.lax.top_k(v_masked, k)  # [B, k]
+    top_valid = jnp.take_along_axis(moves.valid, topi, axis=-1)
+    cand_boards = board_take(moves.boards, topi)
+
+    w_o = weighted_opponent_response(params, cand_boards, 1 - state.player, cfg)
+    scores = cfg.twoply.alpha * topv - cfg.twoply.beta * w_o
+    k_2ply, k_1ply = jax.random.split(key)
+    logits2 = jnp.where(top_valid, scores / temperature, _NEG)
+    pick = jax.random.categorical(k_2ply, logits2, axis=-1)
+    action_2ply = jnp.take_along_axis(topi, pick[..., None], axis=-1)[..., 0]
+
+    logits1 = jnp.where(moves.valid, v_masked / temperature, _NEG)
+    action_1ply = jax.random.categorical(k_1ply, logits1, axis=-1)
+
+    use_2ply = moves.count >= k
+    return jnp.where(use_2ply, action_2ply, action_1ply), v_obs

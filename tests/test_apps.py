@@ -1,0 +1,89 @@
+"""App-layer tests: renderer, play-CLI agent logic, train CLI end-to-end smoke
+(both modes), evaluate CLI."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mlp_ppo_2ply_multi_tpu.apps import render, train
+from mlp_ppo_2ply_multi_tpu.core.config import Config
+from mlp_ppo_2ply_multi_tpu.learner import td
+from mlp_ppo_2ply_multi_tpu.oracle import rules
+from mlp_ppo_2ply_multi_tpu.oracle.env import OracleEnv
+
+
+def test_render_start_board():
+    out = render.render(rules.start_board(), 0, (3, 1))
+    assert "BAR" in out and "to move: X" in out and "dice: 3,1" in out
+    # 5 checkers of X on point 12 (index 11, bottom row)
+    assert out.count("X") >= 10 and out.count("O") >= 10
+
+
+def test_describe_move():
+    assert render.describe_move(((24, 19, False), (12, 9, True))) == "bar/20 13/10*"
+    assert render.describe_move(((23, 25, False),)) == "24/off"
+
+
+def test_play_agent_action_argmax():
+    from mlp_ppo_2ply_multi_tpu.apps.play import agent_action, move_values
+
+    params = td.init_train_state(jax.random.PRNGKey(0), Config()).params
+    rolls = iter([(5, 2), (6, 1), (3, 4), (2, 2), (6, 6)] * 100)
+    env = OracleEnv(rolls)
+    env.reset()
+    a = agent_action(params, env, two_ply=False)
+    v = move_values(params, env)
+    assert a == int(np.argmax(v))
+
+
+def test_train_cli_sync_smoke(tmp_path):
+    rc = train.main(
+        [
+            "--mode", "sync",
+            "--batch-games", "8",
+            "--updates", "2",
+            "--small-movegen",
+            "--max-timesteps", "16",
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--metrics-dir", str(tmp_path / "runs"),
+            "--log-every", "1",
+        ]
+    )
+    assert rc == 0
+    runs = os.listdir(tmp_path / "runs")
+    assert len(runs) == 1
+    lines = open(tmp_path / "runs" / runs[0] / "metrics.jsonl").read().splitlines()
+    recs = [json.loads(l) for l in lines]
+    assert len(recs) == 2
+    assert all(np.isfinite(r["loss"]) for r in recs)
+    assert os.path.isdir(tmp_path / "ck")
+
+
+def test_train_cli_continuous_smoke(tmp_path):
+    rc = train.main(
+        [
+            "--mode", "continuous",
+            "--batch-games", "16",
+            "--updates", "2",
+            "--steps-per-update", "8",
+            "--data", "8",
+            "--small-movegen",
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--metrics-dir", str(tmp_path / "runs"),
+        ]
+    )
+    assert rc == 0
+
+
+def test_evaluate_cli_smoke(capsys):
+    from mlp_ppo_2ply_multi_tpu.apps import evaluate
+
+    rc = evaluate.main(
+        ["--opponent", "random", "--games", "16", "--max-steps", "120",
+         "--small-movegen"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["games"] == 16

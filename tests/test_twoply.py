@@ -1,0 +1,86 @@
+"""Differential tests for the 2-ply expectimax scorer vs a pure-python oracle
+implementing the reference algorithm (two_ply.py:44-150)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlp_ppo_2ply_multi_tpu.core.config import Config, MoveGenConfig, TwoPlyConfig
+from mlp_ppo_2ply_multi_tpu.engine.board import Board
+from mlp_ppo_2ply_multi_tpu.learner import td
+from mlp_ppo_2ply_multi_tpu.oracle import rules
+from mlp_ppo_2ply_multi_tpu.twoply import expectimax
+from tests.helpers import boards_to_jax, sample_cases
+
+CFG = Config(
+    movegen=MoveGenConfig(a_max=512),
+    # reply_a_max=512 so the only truncation is the 50-cap on small doubles,
+    # which the oracle below applies identically (first-50, the documented
+    # deterministic divergence from the reference's random.sample).
+    twoply=TwoPlyConfig(enabled=True, reply_a_max=512),
+)
+
+
+def _forward_np(params, x):
+    w1, b1 = np.asarray(params["w1"]), np.asarray(params["b1"])
+    w2, b2 = np.asarray(params["w2"]), np.asarray(params["b2"])
+    h = 1.0 / (1.0 + np.exp(-(x @ w1 + b1)))
+    return (h @ w2 + b2)[..., 0]
+
+
+def _oracle_wor(params, board, opp_player, cap=50, topn=5):
+    """two_ply.py:93-150 with deterministic first-``cap`` small-doubles."""
+    total = 0.0
+    for roll, prob, small in zip(
+        expectimax.ROLLS, expectimax.PROBS, expectimax.SMALL_DOUBLE
+    ):
+        mvs = rules.full_moves(board, opp_player, tuple(int(d) for d in roll))
+        if small and len(mvs) > cap:
+            mvs = mvs[:cap]
+        if mvs:
+            feats = np.array([rules.encode(b, opp_player) for _, b in mvs], np.float32)
+            v = _forward_np(params, feats)
+            top = np.sort(v)[::-1][:topn]
+            total += float(top.mean()) * float(prob)
+    return total
+
+
+def test_weighted_opponent_response_matches_oracle():
+    params = td.init_train_state(jax.random.PRNGKey(0), CFG).params
+    boards, players, _ = sample_cases(seed=42, n=6)
+
+    jb = boards_to_jax(boards)  # [6]
+    # candidate axis K=1: each board is its own candidate
+    jb_k = Board(
+        points=jb.points[:, None], bar=jb.bar[:, None], off=jb.off[:, None]
+    )
+    opp = jnp.asarray(players, jnp.int32)
+    got = np.asarray(
+        jax.jit(
+            lambda p, b, o: expectimax.weighted_opponent_response(p, b, o, CFG)
+        )(params, jb_k, opp)
+    )[:, 0]
+
+    want = np.array(
+        [_oracle_wor(params, b, pl) for b, pl in zip(boards, players)], np.float32
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_rollout_with_twoply_enabled_runs():
+    from mlp_ppo_2ply_multi_tpu.actor import rollout as actor
+    from mlp_ppo_2ply_multi_tpu.env import vec_env
+
+    cfg = Config(
+        movegen=MoveGenConfig(w1=16, w2=32, w3=48, w4=64, a_max=64),
+        twoply=TwoPlyConfig(enabled=True, reply_a_max=32),
+    )
+    params = td.init_train_state(jax.random.PRNGKey(1), cfg).params
+    state = vec_env.reset(jax.random.PRNGKey(2), 4)
+    temp = jnp.float32(1.0)
+    state2, traj = actor.rollout(
+        params, state, jax.random.PRNGKey(3), temp, cfg, num_steps=3
+    )
+    assert np.asarray(traj.recorded).shape == (3, 4)
+    assert np.isfinite(np.asarray(traj.value)).all()
