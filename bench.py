@@ -5,6 +5,10 @@ value forward over all afterstates -> softmax(V/T) sampling -> env
 transition) in continuous rollout mode — the TPU-native replacement for the
 reference's 7-process worker pipeline (/root/reference/src/multi/worker.py).
 
+The step is jitted once and driven from a Python loop with device-resident
+state (dispatches pipeline; a lax.scan over time compiles pathologically
+slowly on the current toolchain for matmul-bearing bodies).
+
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is value / 1e6 — the driver-set north-star target of 1M
@@ -12,10 +16,12 @@ env-steps/s/chip (BASELINE.md; the reference itself publishes no numbers).
 """
 from __future__ import annotations
 
+import functools
 import json
 import time
 
 import jax
+import jax.numpy as jnp
 
 from mlp_ppo_2ply_multi_tpu.core.config import Config
 from mlp_ppo_2ply_multi_tpu.actor import rollout as actor
@@ -23,43 +29,44 @@ from mlp_ppo_2ply_multi_tpu.env import vec_env
 from mlp_ppo_2ply_multi_tpu.learner import td
 
 
-def run(batch: int, steps_per_call: int, calls: int, warmup: int = 2, cfg=None) -> float:
+def run(batch: int, steps: int, warmup: int = 8, cfg=None) -> float:
     cfg = cfg or Config()
     key = jax.random.PRNGKey(0)
     params = td.init_train_state(key, cfg).params
     state = vec_env.reset(jax.random.fold_in(key, 1), batch)
-    temp = td.temperature(jax.numpy.zeros((), jax.numpy.int32), cfg)
+    temp = td.temperature(jnp.zeros((), jnp.int32), cfg)
 
-    k = jax.random.PRNGKey(1)
-    for _ in range(warmup):
-        k, sub = jax.random.split(k)
-        state, traj = actor.rollout(
-            params, state, sub, temp, cfg, steps_per_call, continuous=True
+    @jax.jit
+    def step(state, key):
+        new_state, _ = actor.rollout_step(
+            params, state, key, temp, cfg, continuous=True
         )
+        return new_state
+
+    keys = jax.random.split(jax.random.PRNGKey(1), warmup + steps)
+    for i in range(warmup):
+        state = step(state, keys[i])
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
-    for _ in range(calls):
-        k, sub = jax.random.split(k)
-        state, traj = actor.rollout(
-            params, state, sub, temp, cfg, steps_per_call, continuous=True
-        )
+    for i in range(steps):
+        state = step(state, keys[warmup + i])
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
-    return batch * steps_per_call * calls / dt
+    return batch * steps / dt
 
 
 def main() -> None:
     on_accel = jax.default_backend() not in ("cpu",)
     if on_accel:
-        value = run(batch=4096, steps_per_call=32, calls=8)
+        value = run(batch=4096, steps=50)
     else:
         # CPU smoke mode: tiny shapes + reduced movegen widths so the run
         # (dominated by XLA compile time) finishes in minutes.
         from mlp_ppo_2ply_multi_tpu.core.config import MoveGenConfig
 
         cfg = Config(movegen=MoveGenConfig(w1=16, w2=32, w3=48, w4=64, a_max=64))
-        value = run(batch=32, steps_per_call=4, calls=1, warmup=1, cfg=cfg)
+        value = run(batch=32, steps=4, warmup=1, cfg=cfg)
     print(
         json.dumps(
             {

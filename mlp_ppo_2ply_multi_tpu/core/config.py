@@ -74,6 +74,20 @@ class MoveGenConfig:
     w4: int = 512
     # Final presented-action cap; mirrors EnvConfig.max_legal_moves.
     a_max: int = 512
+    # Enumeration engine: "canonical" (sortless, fast; doubles in canonical
+    # rather than reference-DFS order — identical move SETS) or "sorted"
+    # (exact reference insertion order everywhere; ~20x slower on TPU).
+    algo: str = "canonical"
+    # Canonical engine: non-doubles candidates are compacted to this many
+    # slots before the pairwise first-occurrence dedup; bounds the pre-dedup
+    # candidate count (<= ~600 theoretical worst case, <100 typical).
+    nd_dedup_k: int = 576
+    # Canonical engine: when > 0, doubles enumeration runs on a compacted
+    # sub-batch of batch/div games (only ~1/6 of games roll doubles with fair
+    # dice). ONLY safe for iid dice — callers that evaluate a fixed roll for
+    # every game (the 2-ply scorer) must use 0 (full batch). Default 3 keeps
+    # overflow probability ~30 sigma below ever happening at batch >= 1024.
+    dd_subbatch_div: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

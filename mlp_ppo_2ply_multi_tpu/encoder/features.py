@@ -30,25 +30,25 @@ def encode_board(board: Board, player: jax.Array, dtype=jnp.float32) -> jax.Arra
     board arrays have batch shape S; player is int[...]=S; returns
     float[S + (198,)].
     """
-    cnt = board.points.astype(dtype)  # [..., 2, 24]
+    cnt = board.data[..., :48].astype(dtype)  # [..., 48] cells in (player, point) order
     f1 = (cnt >= 1).astype(dtype)
     f2 = (cnt >= 2).astype(dtype)
     f3 = (cnt >= 3).astype(dtype)
     f4 = jnp.maximum(cnt - 3.0, 0.0) * 0.5
-    # [..., 2, 24, 4] -> [..., 192]; player-major then point-major then the
-    # 4-tuple, exactly torch.stack([...], dim=2).view(-1) in the reference.
+    # [..., 48, 4] -> [..., 192]: cell-major (player then point) with the
+    # 4-tuple minor, exactly torch.stack([...], dim=2).view(-1) in the
+    # reference (immutable_board.py:103-112).
     stack = jnp.stack([f1, f2, f3, f4], axis=-1)
-    point_feats = stack.reshape(*cnt.shape[:-2], 192)
+    point_feats = stack.reshape(*cnt.shape[:-1], 192)
 
-    bar = board.bar.astype(dtype)
-    off = board.off.astype(dtype)
-    bs = bar[..., 0].shape  # board batch shape (player may broadcast into it)
+    tail_d = board.data[..., 48:52].astype(dtype)
+    bs = tail_d[..., 0].shape  # board batch shape (player may broadcast into it)
     tail = jnp.stack(
         [
-            bar[..., 0] / 2.0,
-            off[..., 0] / 15.0,
-            bar[..., 1] / 2.0,
-            off[..., 1] / 15.0,
+            tail_d[..., 0] / 2.0,  # bar p0
+            tail_d[..., 2] / 15.0,  # off p0
+            tail_d[..., 1] / 2.0,  # bar p1
+            tail_d[..., 3] / 15.0,  # off p1
             jnp.broadcast_to((player == 0).astype(dtype), bs),
             jnp.broadcast_to((player == 1).astype(dtype), bs),
         ],

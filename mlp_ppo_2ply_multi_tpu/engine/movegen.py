@@ -72,6 +72,33 @@ class MoveSet(NamedTuple):
     count: jax.Array  # int32[...]
 
 
+def _shift_by_die(arr: jax.Array, d8: jax.Array, sign8: jax.Array) -> jax.Array:
+    """out[..., i] = arr[..., i + d*sign] (0 outside), for d in 1..6.
+
+    TPU lane-gathers with row-varying indices run at ~100MB/s (measured); a
+    die-indexed shift is 12 static slices + selects on the VPU instead.
+    """
+    pad = jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(6, 6)])
+    out = jnp.zeros_like(arr)
+    pos = (sign8 > 0)[..., None]
+    for dd in range(1, 7):
+        m = (d8 == dd)[..., None]
+        fwd = pad[..., 6 + dd : 6 + dd + NUM_POINTS]
+        bwd = pad[..., 6 - dd : 6 - dd + NUM_POINTS]
+        out = jnp.where(m & pos, fwd, out)
+        out = jnp.where(m & ~pos, bwd, out)
+    return out
+
+
+def _at_static_lane(arr: jax.Array, idx: jax.Array, candidates) -> jax.Array:
+    """arr[..., idx] where idx takes one of a few static values: a
+    select-chain over static lane reads instead of a dynamic gather."""
+    out = jnp.zeros(arr.shape[:-1], arr.dtype)
+    for c in candidates:
+        out = jnp.where(idx == c, arr[..., c], out)
+    return out
+
+
 def slot_table(board: Board, player: jax.Array, die: jax.Array) -> SlotTable:
     """Single-die moves (reference get_moves_one_die.py:13-251) as a fixed
     27-slot table. Slot order == reference emission order:
@@ -79,55 +106,69 @@ def slot_table(board: Board, player: jax.Array, die: jax.Array) -> SlotTable:
       24     bar entry (ON_BAR state)
       25     farthest-checker bear-off
       26     exact-point bear-off
+
+    Gather-free: every die-dependent lookup is a static-shift select
+    (_shift_by_die) or a static-lane select chain.
     """
     bs = board.batch_shape
-    p = jnp.broadcast_to(player.astype(jnp.int32), bs)
-    d = jnp.broadcast_to(die.astype(jnp.int32), bs)
-    sign = 1 - 2 * p
-    own = player_points(board, player).astype(jnp.int32)  # [..., 24]
-    opp = opponent_points(board, player).astype(jnp.int32)
+    p8 = jnp.broadcast_to(player.astype(jnp.int8), bs)
+    d8 = jnp.broadcast_to(die.astype(jnp.int8), bs)
+    p = p8.astype(jnp.int32)
+    d = d8.astype(jnp.int32)
+    sign8 = (1 - 2 * p8).astype(jnp.int8)
+    own = player_points(board, player)  # int8 [..., 24]
+    opp = opponent_points(board, player)
     kind = board_state_kind(board, player)  # int8[...]
 
-    iota = jnp.arange(NUM_POINTS, dtype=jnp.int32)
-    dest = iota + (d * sign)[..., None]  # [..., 24]
-    in_board = (dest >= 0) & (dest < NUM_POINTS)
-    dest_c = jnp.clip(dest, 0, NUM_POINTS - 1)
-    opp_at_dest = jnp.take_along_axis(opp, dest_c, axis=-1)
+    iota8 = jnp.arange(NUM_POINTS, dtype=jnp.int8)
+    dest8 = iota8 + (d8 * sign8)[..., None]  # [..., 24]
+    in_board = (dest8 >= 0) & (dest8 < NUM_POINTS)
+    dest_c = jnp.clip(dest8, 0, NUM_POINTS - 1)
+    opp_at_dest = _shift_by_die(opp, d8, sign8)
     normal_ok = (
         ((kind == 0) | (kind == 2))[..., None]
         & (own > 0)
         & in_board
         & (opp_at_dest < 2)
     )
-    normal_hits = opp_at_dest == 1
+    normal_hits = in_board & (opp_at_dest == 1)
 
     # slot 24: bar entry (get_moves_one_die.py:86-130)
-    entry = jnp.where(p == 0, d - 1, NUM_POINTS - d)
-    opp_at_entry = jnp.take_along_axis(opp, entry[..., None], axis=-1)[..., 0]
+    entry8 = jnp.where(p8 == 0, d8 - 1, NUM_POINTS - d8).astype(jnp.int8)
+    opp_at_entry = _at_static_lane(
+        opp, entry8, list(range(0, 6)) + list(range(18, 24))
+    )
     bar_ok = (kind == 1) & (opp_at_entry < 2)
     bar_hits = opp_at_entry == 1
 
     # farthest occupied home point (get_moves_one_die.py:191-203); defaults to
     # the first home point when the home board is empty, like the reference.
     occ1 = own[..., 18:24] > 0
-    last_p1 = 18 + jnp.argmax(occ1, axis=-1).astype(jnp.int32)
+    last_p1 = 18 + jnp.argmax(occ1, axis=-1).astype(jnp.int8)
     occ2 = own[..., 0:6] > 0
-    last_p2 = 5 - jnp.argmax(occ2[..., ::-1], axis=-1).astype(jnp.int32)
-    last = jnp.where(p == 0, last_p1, last_p2)
+    last_p2 = 5 - jnp.argmax(occ2[..., ::-1], axis=-1).astype(jnp.int8)
+    last8 = jnp.where(p8 == 0, last_p1, last_p2)
+    last = last8.astype(jnp.int32)
 
     # slot 25: overshoot bear-off of the farthest checker (:206-214, :229-236)
     over_ok = (kind == 2) & jnp.where(
-        p == 0, last + d >= NUM_POINTS, last - d < 0
+        p8 == 0, last8 + d8 >= NUM_POINTS, last8 - d8 < 0
     )
     # slot 26: exact-point bear-off (:216-227, :238-249)
-    exact = jnp.where(p == 0, NUM_POINTS - d, d - 1)
-    own_at_exact = jnp.take_along_axis(own, exact[..., None], axis=-1)[..., 0]
-    exact_ok = (kind == 2) & (exact != last) & (own_at_exact > 0)
+    exact8 = jnp.where(p8 == 0, NUM_POINTS - d8, d8 - 1).astype(jnp.int8)
+    own_at_exact = _at_static_lane(
+        own, exact8, list(range(0, 6)) + list(range(18, 24))
+    )
+    exact_ok = (kind == 2) & (exact8 != last8) & (own_at_exact > 0)
+    dest_c = dest_c.astype(jnp.int32)
+    entry = entry8.astype(jnp.int32)
+    exact = exact8.astype(jnp.int32)
+    iota = jnp.arange(NUM_POINTS, dtype=jnp.int32)
 
     start = jnp.concatenate(
         [
-            jnp.broadcast_to(iota, (*dest.shape[:-1], NUM_POINTS)),
-            jnp.broadcast_to(jnp.int32(BAR), (*dest.shape[:-1], 1)),
+            jnp.broadcast_to(iota, (*dest_c.shape[:-1], NUM_POINTS)),
+            jnp.broadcast_to(jnp.int32(BAR), (*dest_c.shape[:-1], 1)),
             last[..., None],
             exact[..., None],
         ],
@@ -137,7 +178,7 @@ def slot_table(board: Board, player: jax.Array, die: jax.Array) -> SlotTable:
         [
             dest_c,
             entry[..., None],
-            jnp.broadcast_to(jnp.int32(BEAR_OFF), (*dest.shape[:-1], 2)),
+            jnp.broadcast_to(jnp.int32(BEAR_OFF), (*dest_c.shape[:-1], 2)),
         ],
         axis=-1,
     )
@@ -145,7 +186,7 @@ def slot_table(board: Board, player: jax.Array, die: jax.Array) -> SlotTable:
         [
             normal_hits,
             bar_hits[..., None],
-            jnp.zeros((*dest.shape[:-1], 2), dtype=bool),
+            jnp.zeros((*dest_c.shape[:-1], 2), dtype=bool),
         ],
         axis=-1,
     )
@@ -156,6 +197,55 @@ def slot_table(board: Board, player: jax.Array, die: jax.Array) -> SlotTable:
     return SlotTable(start=start, end=end, hits=hits, valid=valid)
 
 
+def farthest_point(board: Board, player: jax.Array) -> jax.Array:
+    """Farthest occupied home point (get_moves_one_die.py:191-203); defaults
+    to the first home point when the home board is empty."""
+    own = player_points(board, player)
+    p8 = jnp.broadcast_to(player.astype(jnp.int8), board.batch_shape)
+    occ1 = own[..., 18:24] > 0
+    last_p1 = 18 + jnp.argmax(occ1, axis=-1).astype(jnp.int8)
+    occ2 = own[..., 0:6] > 0
+    last_p2 = 5 - jnp.argmax(occ2[..., ::-1], axis=-1).astype(jnp.int8)
+    return jnp.where(p8 == 0, last_p1, last_p2)
+
+
+def slot_params(
+    board: Board, player: jax.Array, die: jax.Array, slot: jax.Array
+):
+    """(start, end, hits) of the submove named by ``slot`` on per-row boards.
+
+    Reconstructs slot-table entries arithmetically for already-validated
+    slots instead of gathering four parallel [.., 27] tables (TPU lane-
+    gathers measured ~20ms per call at batch 4096x512; this is pure VPU
+    arithmetic + one one-hot reduce for the blot check). ``board``'s batch
+    shape must equal slot's shape (row-gathered parent boards).
+    """
+    p8 = jnp.broadcast_to(player.astype(jnp.int8), slot.shape)
+    d8 = jnp.broadcast_to(die.astype(jnp.int8), slot.shape)
+    sign8 = (1 - 2 * p8).astype(jnp.int8)
+    s8 = slot.astype(jnp.int8)
+
+    last8 = farthest_point(board, player)
+    exact8 = jnp.where(p8 == 0, NUM_POINTS - d8, d8 - 1).astype(jnp.int8)
+    entry8 = jnp.where(p8 == 0, d8 - 1, NUM_POINTS - d8).astype(jnp.int8)
+
+    start8 = jnp.where(
+        s8 < 24, s8, jnp.where(s8 == 24, jnp.int8(BAR), jnp.where(s8 == 25, last8, exact8))
+    )
+    end_normal = jnp.clip(s8 + d8 * sign8, 0, NUM_POINTS - 1)
+    end8 = jnp.where(
+        s8 < 24, end_normal, jnp.where(s8 == 24, entry8, jnp.int8(BEAR_OFF))
+    )
+    # blot check via one-hot reduce (no gather)
+    opp = opponent_points(board, player)  # [..., 24]
+    iota8 = jnp.arange(NUM_POINTS, dtype=jnp.int8)
+    opp_at_end = jnp.sum(
+        jnp.where(end8[..., None] == iota8, opp, 0).astype(jnp.int32), axis=-1
+    )
+    hits = (end8 != BEAR_OFF) & (opp_at_end == 1)
+    return start8.astype(jnp.int32), end8.astype(jnp.int32), hits
+
+
 # ---------------------------------------------------------------------------
 # board batch helpers
 # ---------------------------------------------------------------------------
@@ -163,29 +253,18 @@ def slot_table(board: Board, player: jax.Array, die: jax.Array) -> SlotTable:
 def board_expand(b: Board, n: int) -> Board:
     """Insert a broadcast entry axis of size n as the last batch axis."""
     bs = b.batch_shape
-    return Board(
-        points=jnp.broadcast_to(b.points[..., None, :, :], (*bs, n, 2, NUM_POINTS)),
-        bar=jnp.broadcast_to(b.bar[..., None, :], (*bs, n, 2)),
-        off=jnp.broadcast_to(b.off[..., None, :], (*bs, n, 2)),
-    )
+    return Board(data=jnp.broadcast_to(b.data[..., None, :], (*bs, n, b.data.shape[-1])))
 
 
 def board_take(b: Board, idx: jax.Array) -> Board:
-    """Gather along the entry axis (last batch axis); idx int[..., K]."""
-    return Board(
-        points=jnp.take_along_axis(b.points, idx[..., None, None], axis=-3),
-        bar=jnp.take_along_axis(b.bar, idx[..., None], axis=-2),
-        off=jnp.take_along_axis(b.off, idx[..., None], axis=-2),
-    )
+    """Gather along the entry axis (last batch axis); idx int[..., K].
+    A contiguous row gather in the flat board layout — DMA-friendly."""
+    return Board(data=jnp.take_along_axis(b.data, idx[..., None], axis=-2))
 
 
 def board_where(pred: jax.Array, a: Board, b: Board) -> Board:
     """Per-entry select; pred bool[..., K] aligned with entry axis."""
-    return Board(
-        points=jnp.where(pred[..., None, None], a.points, b.points),
-        bar=jnp.where(pred[..., None], a.bar, b.bar),
-        off=jnp.where(pred[..., None], a.off, b.off),
-    )
+    return Board(data=jnp.where(pred[..., None], a.data, b.data))
 
 
 def _delta_over_slots(b: Board, player: jax.Array, st: SlotTable):
@@ -619,8 +698,14 @@ def enumerate_doubles(
 def legal_moves(
     board: Board, player: jax.Array, dice: jax.Array, cfg: MoveGenConfig
 ) -> MoveSet:
-    """All legal full moves per game as afterstate boards, reference
-    enumeration order, capped at cfg.a_max (env 500-cap, Q7)."""
+    """All legal full moves per game as afterstate boards, capped at
+    cfg.a_max (env 500-cap, Q7). Dispatches on cfg.algo: "canonical" is the
+    sortless fast engine (movegen2), "sorted" this module's exact
+    reference-order engine."""
+    if cfg.algo == "canonical":
+        from mlp_ppo_2ply_multi_tpu.engine import movegen2
+
+        return movegen2.legal_moves(board, player, dice, cfg)
     is_double = dice[..., 0] == dice[..., 1]
 
     nd = enumerate_nondoubles(board, player, dice, cfg)

@@ -1,0 +1,397 @@
+"""Sortless full-move enumeration (the fast engine, algo="canonical").
+
+The sort-based engine (movegen.py) reproduces the reference's insertion order
+exactly but spends its time in wide multi-key sorts — measured at ~475ms per
+call at batch 256 on TPU v5e, with XLA compile times that explode with batch
+size. This engine produces the same move SETS with zero sorts, built from ops
+measured at ~0.03ms each (gathers, cumsums, batched binary search):
+
+* Non-doubles (exact reference order and dedup semantics,
+  generate_all_moves.py:25-53): all 1512 candidate cells (pass-A pairs,
+  pass-A singles, pass-B pairs, pass-B singles — index order == reference
+  insertion order) carry incremental board hashes. The valid ones are
+  compacted (cumsum + batched binary search, no sort) into nd_dedup_k slots
+  preserving order, then a pairwise O(K^2) "equal to any earlier candidate"
+  comparison reproduces the reference's shared seen-set exactly — including
+  its quirky sequencing where dedup runs BEFORE the max-submove filter (a
+  pass-B pair whose board equals an earlier pass-A single is dropped as a
+  duplicate, which can leave a 1-submove move as the only survivor). A
+  pairwise pass is used instead of analytic duplicate patterns because
+  same-board collisions are richer than transpose/chain symmetry: e.g. the
+  vacate-refill "leapfrog" (6->8, 8->9*) == (7->9*, 6->7).
+
+* Doubles (canonical order; same SET as the reference, handle_move_types.py:
+  84-193): a full move's afterstate is determined by the MULTISET of
+  (start, end) submoves — with one die value, by the multiset of origins
+  (count-delta telescoping is injective). Enumerating only canonical
+  sequences whose submove ranks are nondecreasing — rank = direction-adjusted
+  start position, bar entries first, bear-offs after same-origin normal
+  moves — visits every multiset exactly once, so there are no duplicates to
+  remove, ever. Availability and slot dynamics (farthest-checker, all-home
+  gating) are evaluated on the frontier board, and a canonical realization is
+  always legal because prerequisites (bar entries, arrivals feeding later
+  departures, home-filling before bear-off) always carry lower ranks.
+  Enumeration order for player 1 matches the reference's DFS order; for
+  player 2 the canonical order differs (the reference scans origins 0..23 for
+  both players, canonical follows travel direction) — sets are identical,
+  presented indices may differ (SURVEY.md Q6 ledger; tests compare sets).
+
+Forced-shorter doubles sequences (reference :117-129 semantics): a canonical
+frontier entry is recorded at length k < 4 iff it has no legal continuation at
+all (full slot table empty — order-independent) and the submove that created
+it was its parent's only legal child in the FULL (unconstrained) expansion.
+The reference's path-dependent variant can record a few more shorts when a
+non-canonical path happens to be forced; divergence is reachable only in
+no-4-sequence positions and is tested empirically against the oracle.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlp_ppo_2ply_multi_tpu.core.config import MoveGenConfig
+from mlp_ppo_2ply_multi_tpu.core.types import BAR, BEAR_OFF, NUM_POINTS
+from mlp_ppo_2ply_multi_tpu.engine.board import (
+    Board,
+    apply_submove,
+    pack_board,
+)
+from mlp_ppo_2ply_multi_tpu.engine.movegen import (
+    MoveSet,
+    N_SLOTS,
+    SlotTable,
+    board_expand,
+    board_take,
+    board_where,
+    slot_params,
+    slot_table,
+)
+
+_INF32 = jnp.int32(0x7FFFFFFF)
+
+
+def _popcount(mask: jax.Array) -> jax.Array:
+    return jnp.sum(mask.astype(jnp.int32), axis=-1)
+
+
+def _select_set_bits(valid: jax.Array, width: int) -> Tuple[jax.Array, jax.Array]:
+    """Indices of the first ``width`` True positions per row, in order.
+
+    Returns (idx int32[..., width] clipped in-range, ok bool[..., width]).
+    Sortless: idx[k] = #(i : cs[i] <= k) — a fused compare+reduce, measured
+    ~8ms at [4096, 1512] x 576 on v5e (binary-search variants lower to
+    sequential scans on TPU and are ~30x slower).
+    """
+    cs = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
+    total = cs[..., -1]
+    ks = jnp.arange(width, dtype=jnp.int32)
+    idx = jnp.sum(
+        (cs[..., :, None] <= ks).astype(jnp.int32), axis=-2, dtype=jnp.int32
+    )
+    ok = ks < total[..., None]
+    return jnp.minimum(idx, cs.shape[-1] - 1), ok
+
+
+# ---------------------------------------------------------------------------
+# Non-doubles
+# ---------------------------------------------------------------------------
+
+# Candidate layout (identical to movegen.py's): [A pairs 729 | A singles 27 |
+# B pairs 729 | B singles 27] — index order IS reference insertion order.
+_N_ND = 2 * (N_SLOTS * N_SLOTS + N_SLOTS)
+_c = np.arange(_N_ND)
+_CAND_PASS = (_c >= N_SLOTS * N_SLOTS + N_SLOTS).astype(np.int32)
+_off = _c - _CAND_PASS * (N_SLOTS * N_SLOTS + N_SLOTS)
+_is_pair = _off < N_SLOTS * N_SLOTS
+_CAND_I = np.where(_is_pair, _off // N_SLOTS, _off - N_SLOTS * N_SLOTS).astype(np.int32)
+_CAND_J = np.where(_is_pair, _off % N_SLOTS, -1).astype(np.int32)
+
+
+class _Pass(NamedTuple):
+    s1: SlotTable  # first-ply slots on the root board
+    b1: Board  # 27 first-ply afterstates
+    s2: SlotTable  # second-ply slots per afterstate [..., 27, 27]
+    pair_valid: jax.Array
+    any_pair: jax.Array
+    single_valid: jax.Array
+
+
+def _run_pass(board: Board, player, d_first, d_second) -> _Pass:
+    s1 = slot_table(board, player, d_first)
+    b27 = board_expand(board, N_SLOTS)
+    p27 = player[..., None]
+    b1 = apply_submove(b27, p27, s1.start, s1.end, s1.hits, s1.valid)
+    s2 = slot_table(b1, p27, d_second[..., None])
+    pair_valid = s1.valid[..., None] & s2.valid
+    any_pair = jnp.any(pair_valid, axis=(-1, -2))
+    single_valid = s1.valid & ~any_pair[..., None]
+    return _Pass(s1, b1, s2, pair_valid, any_pair, single_valid)
+
+
+def _dup_earlier_mask(packed: jax.Array, ok: jax.Array) -> jax.Array:
+    """dup[i] = exists valid j < i with identical board.
+
+    Exact pairwise equality via a Gram matrix on the MXU: boards are small
+    nonnegative integer vectors (counts <= 15), so squared distances computed
+    with bf16 inputs and f32 accumulation are exact (products <= 225 and sums
+    <= 11700 are exactly representable).
+    """
+    k = packed.shape[-2]
+    x = packed.astype(jnp.bfloat16)
+    g = jnp.einsum("...ic,...jc->...ij", x, x, preferred_element_type=jnp.float32)
+    n = jnp.sum(packed.astype(jnp.float32) ** 2, axis=-1)
+    d2 = n[..., :, None] + n[..., None, :] - 2.0 * g
+    earlier = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1)
+    return jnp.any((d2 <= 0.0) & earlier & ok[..., None, :], axis=-1)
+
+
+def enumerate_nondoubles(
+    board: Board, player: jax.Array, dice: jax.Array, cfg: MoveGenConfig
+) -> MoveSet:
+    """Sortless non-doubles enumeration; exact reference order
+    (generate_all_moves.py:25-53)."""
+    d_hi = jnp.maximum(dice[..., 0], dice[..., 1]).astype(jnp.int32)
+    d_lo = jnp.minimum(dice[..., 0], dice[..., 1]).astype(jnp.int32)
+
+    pa = _run_pass(board, player, d_hi, d_lo)
+    pb = _run_pass(board, player, d_lo, d_hi)
+
+    # reverse-order skip (generate_all_moves.py:40-50): within-pass singles
+    # are always distinct, so "one unique single move" == popcount 1.
+    skip_b = (~pa.any_pair) & (_popcount(pa.single_valid) == 1)
+    pvB = pb.pair_valid & ~skip_b[..., None, None]
+    svB = pb.single_valid & ~skip_b[..., None]
+
+    flat2 = lambda a: a.reshape(*a.shape[:-2], N_SLOTS * N_SLOTS)
+    valid = jnp.concatenate(
+        [flat2(pa.pair_valid), pa.single_valid, flat2(pvB), svB], axis=-1
+    )
+
+    # Compact valid candidates (order preserved == insertion order) and
+    # materialize their afterstate boards. Candidate index -> (pass, i, j) is
+    # closed-form arithmetic (table gathers measured ~17ms each at B=4096).
+    K = cfg.nd_dedup_k
+    kidx, kok = _select_set_bits(valid, K)
+    ph = N_SLOTS * N_SLOTS + N_SLOTS
+    cpass = (kidx >= ph).astype(jnp.int32)
+    koff = kidx - cpass * ph
+    is_pair = koff < N_SLOTS * N_SLOTS
+    ci = jnp.where(is_pair, koff // N_SLOTS, koff - N_SLOTS * N_SLOTS)
+    cj = jnp.where(is_pair, koff % N_SLOTS, -1)
+
+    first = board_where(cpass == 0, board_take(pa.b1, ci), board_take(pb.b1, ci))
+
+    # second-submove parameters recomputed arithmetically on the gathered
+    # first-ply boards; compacted cells are valid by construction, so the
+    # application mask is just kok & "is a pair".
+    d_second = jnp.where(cpass == 0, d_lo[..., None], d_hi[..., None])
+    s2, e2, h2 = slot_params(first, player[..., None], d_second, jnp.maximum(cj, 0))
+    app = kok & (cj >= 0)
+    after = apply_submove(first, player[..., None], s2, e2, h2, app)
+
+    # First-occurrence dedup — the reference's shared seen-set
+    # (handle_move_types.py:196-221) — by exact pairwise board equality.
+    dup = _dup_earlier_mask(pack_board(after), kok)
+    keep = kok & ~dup
+
+    # max-submove filter AFTER dedup (generate_all_moves.py:69-90): if any
+    # surviving candidate is a 2-submove pair, all singles drop.
+    kpair = cj >= 0
+    has_pair = jnp.any(keep & kpair, axis=-1)
+    keep = keep & (kpair | ~has_pair[..., None])
+
+    out2_idx, out_valid = _select_set_bits(keep, cfg.a_max)
+    out = board_take(after, out2_idx)
+    return MoveSet(boards=out, valid=out_valid, count=_popcount(out_valid))
+
+
+# ---------------------------------------------------------------------------
+# Doubles — canonical multiset enumeration
+# ---------------------------------------------------------------------------
+
+def _slot_rank(st: SlotTable, player: jax.Array) -> jax.Array:
+    """Canonical rank per slot: direction-adjusted start position, doubled,
+    +1 for bear-off slots (normal-before-bear-off at equal start); bar = -1
+    (must always come first)."""
+    pos = st.start  # 0..23 for normal/bear-off slots, 24 for bar
+    p = player.astype(jnp.int32)
+    while p.ndim < pos.ndim:
+        p = p[..., None]
+    adj = jnp.where(p == 0, pos, NUM_POINTS - 1 - pos)
+    is_off = st.end == BEAR_OFF
+    rank = 2 * adj + is_off.astype(jnp.int32)
+    return jnp.where(st.start == BAR, -1, rank)
+
+
+class _Frontier(NamedTuple):
+    boards: Board  # [..., W]
+    last_rank: jax.Array  # int32[..., W]
+    only: jax.Array  # bool: arriving submove was parent's only full child
+    valid: jax.Array
+
+
+def _expand(
+    front: _Frontier, player: jax.Array, die: jax.Array, width: int
+) -> Tuple[_Frontier, MoveSet]:
+    """One canonical level expansion; also returns this level's forced-short
+    records as a (boards, valid, count) set in frontier order."""
+    pw = player[..., None]
+    st = slot_table(front.boards, pw, die[..., None])  # [..., W, 27]
+    full_cc = _popcount(st.valid)  # [..., W]
+
+    shorts_valid = front.valid & front.only & (full_cc == 0)
+    shorts = MoveSet(
+        boards=front.boards, valid=shorts_valid, count=_popcount(shorts_valid)
+    )
+
+    rank = _slot_rank(st, pw)
+    child_valid = front.valid[..., None] & st.valid & (rank >= front.last_rank[..., None])
+
+    w27 = child_valid.shape[-2] * N_SLOTS
+    cv = child_valid.reshape(*child_valid.shape[:-2], w27)
+    out_idx, out_ok = _select_set_bits(cv, width)
+
+    # parent boards via one contiguous row gather; submove params recomputed
+    # arithmetically from the slot index (no parallel-table gathers).
+    parent = out_idx // N_SLOTS
+    slot = out_idx % N_SLOTS
+    pboards = board_take(front.boards, parent)
+    pw2 = player[..., None]
+    sg, eg, hg = slot_params(pboards, pw2, die[..., None], slot)
+    nboards = apply_submove(pboards, pw2, sg, eg, hg, out_ok)
+    # canonical rank of the applied submove (same formula as _slot_rank)
+    p32 = jnp.broadcast_to(player.astype(jnp.int32)[..., None], slot.shape)
+    adj = jnp.where(p32 == 0, sg, NUM_POINTS - 1 - sg)
+    nrank = jnp.where(sg == BAR, -1, 2 * adj + (eg == BEAR_OFF))
+    ponly = jnp.take_along_axis(full_cc == 1, parent, axis=-1)
+    return (
+        _Frontier(boards=nboards, last_rank=nrank, only=ponly, valid=out_ok),
+        shorts,
+    )
+
+
+def enumerate_doubles(
+    board: Board, player: jax.Array, die: jax.Array, cfg: MoveGenConfig
+) -> MoveSet:
+    """Canonical doubles enumeration — zero sorts, zero dedup (see module
+    docstring for the uniqueness argument)."""
+    s1 = slot_table(board, player, die)
+    root_cc = _popcount(s1.valid)
+    idx1, ok1 = _select_set_bits(s1.valid, cfg.w1)
+    b0 = board_expand(board, cfg.w1)
+    pw = player[..., None]
+    sg, eg, hg = slot_params(b0, pw, die[..., None], idx1)
+    b1 = apply_submove(b0, pw, sg, eg, hg, ok1)
+    p32 = jnp.broadcast_to(player.astype(jnp.int32)[..., None], idx1.shape)
+    adj = jnp.where(p32 == 0, sg, NUM_POINTS - 1 - sg)
+    rank1 = jnp.where(sg == BAR, -1, 2 * adj + (eg == BEAR_OFF))
+    front = _Frontier(
+        boards=b1,
+        last_rank=rank1,
+        only=jnp.broadcast_to((root_cc == 1)[..., None], ok1.shape),
+        valid=ok1,
+    )
+
+    front2, shorts1 = _expand(front, player, die, cfg.w2)
+    front3, shorts2 = _expand(front2, player, die, cfg.w3)
+    front4, shorts3 = _expand(front3, player, die, cfg.w4)
+
+    has4 = jnp.any(front4.valid, axis=-1)
+    a3 = jnp.any(shorts3.valid, axis=-1)
+    a2 = jnp.any(shorts2.valid, axis=-1)
+
+    def compact(ms: MoveSet, use: jax.Array, width: int) -> MoveSet:
+        v = ms.valid & use[..., None]
+        idx, ok = _select_set_bits(v, width)
+        return MoveSet(
+            boards=board_take(ms.boards, idx), valid=ok, count=_popcount(ok)
+        )
+
+    a_max = cfg.a_max
+    m4 = compact(
+        MoveSet(boards=front4.boards, valid=front4.valid, count=None), has4, a_max
+    )
+    m3 = compact(shorts3, (~has4) & a3, a_max)
+    m2 = compact(shorts2, (~has4) & ~a3 & a2, a_max)
+    m1 = compact(shorts1, (~has4) & ~a3 & ~a2, a_max)
+
+    def merge(a: MoveSet, b: MoveSet, use_a: jax.Array) -> MoveSet:
+        return MoveSet(
+            boards=board_where(
+                jnp.broadcast_to(use_a[..., None], a.valid.shape), a.boards, b.boards
+            ),
+            valid=jnp.where(use_a[..., None], a.valid, b.valid),
+            count=jnp.where(use_a, a.count, b.count),
+        )
+
+    out = merge(m4, m3, has4)
+    out = merge(out, m2, has4 | ((~has4) & a3))
+    out = merge(out, m1, has4 | a3 | a2)
+    return out
+
+
+def _flat_take0(tree, idx: jax.Array):
+    return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), tree)
+
+
+def legal_moves(
+    board: Board, player: jax.Array, dice: jax.Array, cfg: MoveGenConfig
+) -> MoveSet:
+    """Sortless dispatch; same MoveSet contract as movegen.legal_moves.
+
+    Doubles are enumerated on a compacted sub-batch: in lockstep play only
+    ~1/6 of games roll doubles per step, so running the (expensive) doubles
+    expansion on every game wastes ~3x its cost. Games with doubles are
+    gathered into a batch/3 sub-batch (P(overflow) is astronomically small —
+     30 sigma at batch 4096; overflow games would present zero moves), the
+    canonical expansion runs there, and each game gathers its result back by
+    its rank among doubles games.
+    """
+    batch_shape = board.batch_shape  # player/dice may broadcast into it
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    fboard = jax.tree.map(lambda a: a.reshape(n, *a.shape[len(batch_shape):]), board)
+    fplayer = jnp.broadcast_to(player, batch_shape).reshape(n)
+    fdice = jnp.broadcast_to(dice, (*batch_shape, 2)).reshape(n, 2)
+    is_double = fdice[:, 0] == fdice[:, 1]
+
+    nd = enumerate_nondoubles(fboard, fplayer, fdice, cfg)
+
+    if n <= 64 or cfg.dd_subbatch_div <= 0:
+        dd = enumerate_doubles(fboard, fplayer, fdice[:, 0].astype(jnp.int32), cfg)
+        dd_boards, dd_valid, dd_count = dd.boards, dd.valid, dd.count
+    else:
+        w_dd = max(8, -(-n // cfg.dd_subbatch_div))
+        sel_idx, sel_ok = _select_set_bits(is_double, w_dd)
+        sub = enumerate_doubles(
+            _flat_take0(fboard, sel_idx),
+            jnp.take(fplayer, sel_idx),
+            jnp.take(fdice[:, 0].astype(jnp.int32), sel_idx),
+            cfg,
+        )
+        sub_valid = sub.valid & sel_ok[:, None]
+        raw_slot = jnp.cumsum(is_double.astype(jnp.int32)) - 1
+        # overflow guard: a game beyond the sub-batch width presents zero
+        # moves (env auto-pass) instead of silently reading another game's
+        in_range = raw_slot < w_dd
+        slot = jnp.clip(raw_slot, 0, w_dd - 1)
+        dd_boards = _flat_take0(sub.boards, slot)
+        dd_valid = jnp.take(sub_valid, slot, axis=0) & in_range[:, None]
+        dd_count = jnp.where(in_range, jnp.take(sub.count, slot), 0)
+
+    pred = jnp.broadcast_to(is_double[:, None], nd.valid.shape)
+    out = MoveSet(
+        boards=board_where(pred, dd_boards, nd.boards),
+        valid=jnp.where(pred, dd_valid, nd.valid),
+        count=jnp.where(is_double, dd_count, nd.count),
+    )
+    a = out.valid.shape[-1]
+    return MoveSet(
+        boards=jax.tree.map(
+            lambda x: x.reshape(*batch_shape, a, *x.shape[2:]), out.boards
+        ),
+        valid=out.valid.reshape(*batch_shape, a),
+        count=out.count.reshape(batch_shape),
+    )

@@ -110,11 +110,7 @@ def reset_where(mask: jax.Array, state: EnvState, key: jax.Array) -> EnvState:
     fresh = reset(key, state.player.shape[0])
     sel = lambda a, b: jnp.where(mask.reshape(mask.shape + (1,) * (a.ndim - 1)), a, b)
     return EnvState(
-        board=Board(
-            points=sel(fresh.board.points, state.board.points),
-            bar=sel(fresh.board.bar, state.board.bar),
-            off=sel(fresh.board.off, state.board.off),
-        ),
+        board=Board(data=sel(fresh.board.data, state.board.data)),
         player=sel(fresh.player, state.player),
         dice=sel(fresh.dice, state.dice),
         game_over=sel(fresh.game_over, state.game_over),
@@ -148,13 +144,9 @@ def step(
 
     a = jnp.clip(action, 0, moves.valid.shape[-1] - 1)
     chosen = board_take(moves.boards, a[..., None])
-    chosen = Board(
-        points=chosen.points[..., 0, :, :], bar=chosen.bar[..., 0, :], off=chosen.off[..., 0, :]
-    )
+    chosen = Board(data=chosen.data[..., 0, :])
     new_board = Board(
-        points=jnp.where(acting[..., None, None], chosen.points, state.board.points),
-        bar=jnp.where(acting[..., None], chosen.bar, state.board.bar),
-        off=jnp.where(acting[..., None], chosen.off, state.board.off),
+        data=jnp.where(acting[..., None], chosen.data, state.board.data)
     )
 
     won = B.has_won(new_board, p) & acting

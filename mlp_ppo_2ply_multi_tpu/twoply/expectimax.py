@@ -66,6 +66,9 @@ def reply_movegen_cfg(cfg: Config) -> MoveGenConfig:
     return dataclasses.replace(
         cfg.movegen, w2=min(cfg.movegen.w2, a), w3=min(cfg.movegen.w3, a),
         w4=min(cfg.movegen.w4, a), a_max=a,
+        # the scorer evaluates each FIXED roll for every game — the iid-dice
+        # doubles sub-batch compaction would overflow on the 6 double rolls
+        dd_subbatch_div=0,
     )
 
 

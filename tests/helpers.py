@@ -13,26 +13,22 @@ from mlp_ppo_2ply_multi_tpu.oracle.rules import BoardT
 
 
 def boards_to_jax(boards: Sequence[BoardT]) -> Board:
-    pts = np.array([[b[0], b[1]] for b in boards], dtype=np.int8)
-    bar = np.array([b[2] for b in boards], dtype=np.int8)
-    off = np.array([b[3] for b in boards], dtype=np.int8)
-    return Board(points=jnp.asarray(pts), bar=jnp.asarray(bar), off=jnp.asarray(off))
+    data = np.array(
+        [list(b[0]) + list(b[1]) + list(b[2]) + list(b[3]) for b in boards],
+        dtype=np.int8,
+    )
+    return Board(data=jnp.asarray(data))
 
 
 def jax_board_to_tuple(b, g: int, k: int = None) -> BoardT:
     """Extract game g (and entry k if given) as an oracle board tuple."""
-    pts = np.asarray(b.points)
-    bar = np.asarray(b.bar)
-    off = np.asarray(b.off)
-    if k is not None:
-        pts, bar, off = pts[g, k], bar[g, k], off[g, k]
-    else:
-        pts, bar, off = pts[g], bar[g], off[g]
+    d = np.asarray(b.data)
+    d = d[g, k] if k is not None else d[g]
     return (
-        tuple(int(x) for x in pts[0]),
-        tuple(int(x) for x in pts[1]),
-        tuple(int(x) for x in bar),
-        tuple(int(x) for x in off),
+        tuple(int(x) for x in d[0:24]),
+        tuple(int(x) for x in d[24:48]),
+        (int(d[48]), int(d[49])),
+        (int(d[50]), int(d[51])),
     )
 
 

@@ -96,6 +96,4 @@ def test_pack_unpack_roundtrip():
     boards, _, _ = sample_cases(31, 16)
     jb = boards_to_jax(boards)
     rb = B.unpack_board(B.pack_board(jb))
-    assert np.array_equal(np.asarray(rb.points), np.asarray(jb.points))
-    assert np.array_equal(np.asarray(rb.bar), np.asarray(jb.bar))
-    assert np.array_equal(np.asarray(rb.off), np.asarray(jb.off))
+    assert np.array_equal(np.asarray(rb.data), np.asarray(jb.data))

@@ -15,7 +15,13 @@ from mlp_ppo_2ply_multi_tpu.env import vec_env
 from mlp_ppo_2ply_multi_tpu.oracle.env import OracleEnv
 from tests.helpers import jax_board_to_tuple
 
-CFG = Config()
+import dataclasses
+from mlp_ppo_2ply_multi_tpu.core.config import MoveGenConfig
+
+# exact index-level transcript parity requires reference enumeration order;
+# the canonical engine's env behavior is covered by
+# test_movegen2.test_canonical_env_rollout_membership
+CFG = Config(movegen=MoveGenConfig(algo="sorted"))
 B_GAMES = 8
 T_STEPS = 60
 

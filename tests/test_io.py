@@ -68,4 +68,4 @@ def test_throughput_counter():
     t.add(episodes=10, env_steps=3000)
     r = t.rates()
     assert r["eps_per_sec"] > 0
-    assert r["env_steps_per_sec"] / r["eps_per_sec"] == 300.0
+    assert abs(r["env_steps_per_sec"] / r["eps_per_sec"] - 300.0) < 1e-6

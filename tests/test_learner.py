@@ -82,7 +82,7 @@ def test_parity_mode_equals_manual_sequential_updates():
     # manual loop
     opt = td.make_optimizer(cfg)
     params, opt_state = ts.params, ts.opt_state
-    obs = td._encode_traj(traj, cfg)
+    obs = td.encode_traj(traj, cfg)
     for b in range(B):
         (loss, _), grads = jax.value_and_grad(td.episode_loss_and_metrics, has_aux=True)(
             params,

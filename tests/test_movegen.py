@@ -17,7 +17,9 @@ from mlp_ppo_2ply_multi_tpu.engine.board import Board
 from mlp_ppo_2ply_multi_tpu.oracle import rules
 from tests.helpers import boards_to_jax, jax_board_to_tuple, sample_cases
 
-CFG = MoveGenConfig()
+# this file tests the exact-reference-order "sorted" engine; the canonical
+# engine has its own differential suite in test_movegen2.py
+CFG = MoveGenConfig(algo="sorted")
 
 
 @pytest.fixture(scope="module")

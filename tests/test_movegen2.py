@@ -1,0 +1,235 @@
+"""Differential tests for the sortless canonical engine (engine/movegen2).
+
+Non-doubles must match the oracle's move sets AND insertion order exactly
+(the canonical cell layout IS the reference order). Doubles must match as
+SETS — canonical enumeration order is documented to differ (movegen2
+docstring / SURVEY.md Q6)."""
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mlp_ppo_2ply_multi_tpu.core.config import MoveGenConfig
+from mlp_ppo_2ply_multi_tpu.engine import movegen2 as MG2
+from mlp_ppo_2ply_multi_tpu.oracle import rules
+from tests.helpers import boards_to_jax, jax_board_to_tuple, sample_cases
+
+# dd_subbatch_div=0: differential tests use skewed dice distributions (all
+# doubles), which would overflow the iid-dice sub-batch; the sub-batch path
+# has its own test below with realistic dice frequencies.
+CFG = MoveGenConfig(algo="canonical", dd_subbatch_div=0)
+
+
+@pytest.fixture(scope="module")
+def jitted():
+    return jax.jit(lambda b, p, d: MG2.legal_moves(b, p, d, CFG))
+
+
+def test_dd_subbatch_matches_full():
+    """The iid-dice doubles sub-batch path must agree with the full-batch
+    path on a realistic mixed-dice batch (n > 64 triggers compaction)."""
+    import random
+
+    rng = random.Random(77)
+    from mlp_ppo_2ply_multi_tpu.oracle import sampling
+
+    n = 256
+    boards = [sampling.random_board(rng) for _ in range(n)]
+    players = [rng.randint(0, 1) for _ in range(n)]
+    dice = [(rng.randint(1, 6), rng.randint(1, 6)) for _ in range(n)]
+    jb = boards_to_jax(boards)
+    pl = jnp.asarray(players, jnp.int32)
+    dc = jnp.asarray(dice, jnp.int32)
+    cfg_sub = MoveGenConfig(algo="canonical", dd_subbatch_div=3)
+    ms_sub = jax.tree.map(np.asarray, jax.jit(
+        lambda b, p, d: MG2.legal_moves(b, p, d, cfg_sub))(jb, pl, dc))
+    ms_full = jax.tree.map(np.asarray, jax.jit(
+        lambda b, p, d: MG2.legal_moves(b, p, d, CFG))(jb, pl, dc))
+    np.testing.assert_array_equal(ms_sub.count, ms_full.count)
+    np.testing.assert_array_equal(ms_sub.valid, ms_full.valid)
+    for g in range(n):
+        for k in range(int(ms_full.count[g])):
+            assert jax_board_to_tuple(ms_sub.boards, g, k) == jax_board_to_tuple(
+                ms_full.boards, g, k
+            ), (g, k)
+
+
+def _got_boards(ms, g):
+    n = int(ms.count[g])
+    return [jax_board_to_tuple(ms.boards, g, k) for k in range(n)]
+
+
+def run_order_diff(jitted, seed, n, doubles_bias):
+    boards, players, dice = sample_cases(seed, n, doubles_bias)
+    # order parity is guaranteed (and tested) for non-doubles only — doubles
+    # use canonical order; force any chance doubles into non-doubles rolls
+    dice = [(d0, d0 % 6 + 1) if d0 == d1 else (d0, d1) for d0, d1 in dice]
+    jb = boards_to_jax(boards)
+    ms = jax.tree.map(
+        np.asarray,
+        jitted(jb, jnp.asarray(players, dtype=jnp.int32), jnp.asarray(dice, dtype=jnp.int32)),
+    )
+    for g in range(n):
+        want = [b for _, b in rules.full_moves(boards[g], players[g], list(dice[g]))]
+        got = _got_boards(ms, g)
+        assert got == want, (g, dice[g], players[g], boards[g])
+        assert not ms.valid[g, int(ms.count[g]):].any()
+
+
+def run_set_diff(jitted, seed, n, doubles_bias):
+    boards, players, dice = sample_cases(seed, n, doubles_bias)
+    jb = boards_to_jax(boards)
+    ms = jax.tree.map(
+        np.asarray,
+        jitted(jb, jnp.asarray(players, dtype=jnp.int32), jnp.asarray(dice, dtype=jnp.int32)),
+    )
+    for g in range(n):
+        want = {b for _, b in rules.full_moves(boards[g], players[g], list(dice[g]))}
+        got = _got_boards(ms, g)
+        assert len(got) == len(set(got)), ("dup presented", g, dice[g], boards[g])
+        assert set(got) == want, (g, dice[g], players[g], boards[g])
+
+
+def test_nondoubles_order_matches_oracle(jitted):
+    run_order_diff(jitted, 111, 96, doubles_bias=0.0)
+
+
+def test_nondoubles_more_seeds(jitted):
+    run_order_diff(jitted, 112, 96, doubles_bias=0.0)
+    run_order_diff(jitted, 113, 96, doubles_bias=0.0)
+
+
+def test_doubles_sets_match_oracle(jitted):
+    run_set_diff(jitted, 222, 96, doubles_bias=1.0)
+    run_set_diff(jitted, 223, 96, doubles_bias=1.0)
+
+
+def test_mixed_sets_match_oracle(jitted):
+    run_set_diff(jitted, 333, 96, doubles_bias=0.4)
+
+
+def test_bar_chain_dedup(jitted):
+    """1 checker on the bar, non-doubles: the bar->enter->continue chains via
+    either die order reach the same point and must be presented once when no
+    intermediate blot exists (and twice when one does)."""
+    cases = []
+    # open opponent home so both entries are legal, no blots
+    p1 = [0] * 24; p1[12] = 14
+    p2 = [0] * 24; p2[23] = 15
+    clean = (tuple(p1), tuple(p2), (1, 0), (0, 0))
+    # opponent blot on one entry point
+    p2b = [0] * 24; p2b[23] = 14; p2b[5] = 1  # blot at P1's 6-entry point
+    blot = (tuple(p1), tuple(p2b), (1, 0), (0, 0))
+    for d in [(6, 2), (5, 3), (6, 1)]:
+        cases.append((clean, 0, d))
+        cases.append((blot, 0, d))
+    # P2 mirror
+    q1 = [0] * 24; q1[0] = 15
+    q2 = [0] * 24; q2[11] = 14
+    clean2 = (tuple(q1), tuple(q2), (0, 1), (0, 0))
+    for d in [(6, 2), (4, 3)]:
+        cases.append((clean2, 1, d))
+
+    boards = [c[0] for c in cases]; players = [c[1] for c in cases]; dice = [c[2] for c in cases]
+    jb = boards_to_jax(boards)
+    ms = jax.tree.map(
+        np.asarray,
+        jitted(jb, jnp.asarray(players, dtype=jnp.int32), jnp.asarray(dice, dtype=jnp.int32)),
+    )
+    for g in range(len(cases)):
+        want = [b for _, b in rules.full_moves(boards[g], players[g], list(dice[g]))]
+        got = _got_boards(ms, g)
+        assert got == want, (g, dice[g], boards[g])
+
+
+def test_bearoff_and_forced_positions(jitted):
+    """Bear-off chains and forced-shorter doubles sequences."""
+    cases = []
+    # bear-off race, both dice bear off / chain into bear-off
+    p1 = [0] * 24
+    p1[18], p1[20], p1[22] = 2, 2, 2
+    p2 = [0] * 24; p2[0] = 15
+    bo = (tuple(p1), tuple(p2), (0, 0), (9, 0))
+    for d in [(6, 5), (4, 2), (3, 3), (6, 6), (1, 1)]:
+        cases.append((bo, 0, d))
+    # blocked doubles: forced shorter sequences
+    p1f = [0] * 24; p1f[0] = 2; p1f[12] = 13
+    p2f = [0] * 24
+    for i in (2, 3, 4, 14, 15, 16):
+        p2f[i] = 2
+    p2f[20] = 3
+    forced = (tuple(p1f), tuple(p2f), (0, 0), (0, 0))
+    for d in [(2, 2), (3, 3), (4, 4), (1, 1)]:
+        cases.append((forced, 0, d))
+
+    boards = [c[0] for c in cases]; players = [c[1] for c in cases]; dice = [c[2] for c in cases]
+    jb = boards_to_jax(boards)
+    ms = jax.tree.map(
+        np.asarray,
+        jitted(jb, jnp.asarray(players, dtype=jnp.int32), jnp.asarray(dice, dtype=jnp.int32)),
+    )
+    for g in range(len(cases)):
+        want = {b for _, b in rules.full_moves(boards[g], players[g], list(dice[g]))}
+        got = _got_boards(ms, g)
+        assert len(got) == len(set(got)), (g, dice[g])
+        assert set(got) == want, (g, dice[g], boards[g])
+
+
+def test_canonical_env_rollout_membership():
+    """Env-level check under the canonical engine: at every step the chosen
+    afterstate is a member of the oracle's legal set and counts agree; the
+    oracle is driven by board-matching so trajectories stay aligned."""
+    from mlp_ppo_2ply_multi_tpu.core.config import Config
+    from mlp_ppo_2ply_multi_tpu.env import vec_env
+    from mlp_ppo_2ply_multi_tpu.oracle.env import OracleEnv
+    from mlp_ppo_2ply_multi_tpu.engine.movegen import board_take
+
+    cfg = Config()
+    B, T = 6, 50
+    rng = np.random.default_rng(5)
+    nd = vec_env._ND_PAIRS
+    opener = nd[rng.integers(0, 30, size=B)]
+    first = nd[rng.integers(0, 30, size=B)]
+    dice = rng.integers(1, 7, size=(T, B, 2)).astype(np.int32)
+
+    @jax.jit
+    def jit_step(state, action, next_dice):
+        moves = MG2.legal_moves(state.board, state.player, state.dice, cfg.movegen)
+        chosen = board_take(moves.boards, action[..., None])
+        res = vec_env.step(state, moves, action, next_dice, cfg.env)
+        return moves.count, chosen, res
+
+    state = vec_env.reset_from_rolls(jnp.asarray(opener), jnp.asarray(first))
+    envs = [
+        OracleEnv(iter([tuple(opener[g]), tuple(first[g])] + [tuple(d) for d in dice[:, g]]))
+        for g in range(B)
+    ]
+    for e in envs:
+        e.reset()
+    done = [False] * B
+
+    for t in range(T):
+        counts = [0 if done[g] else envs[g].num_moves for g in range(B)]
+        actions = [(t * 7 + 3 * g) % c if c else 0 for g, c in enumerate(counts)]
+        j_counts, chosen, res = jit_step(
+            state, jnp.asarray(actions, jnp.int32), jnp.asarray(dice[t])
+        )
+        j_counts = np.asarray(j_counts)
+        for g in range(B):
+            if done[g]:
+                continue
+            assert j_counts[g] == counts[g], (t, g)
+            if counts[g] == 0:
+                envs[g].step(None)
+            else:
+                got_b = jax_board_to_tuple(type(chosen)(chosen.data[..., 0, :]), g)
+                # find the oracle action with the same afterstate
+                matches = [k for k, (_, b) in enumerate(envs[g].legal) if b == got_b]
+                assert matches, (t, g, "chosen board not in oracle set")
+                _, r, d, _ = envs[g].step(matches[0])
+                assert np.isclose(float(np.asarray(res.reward)[g]), r), (t, g)
+                if d:
+                    done[g] = True
+        state = res.state

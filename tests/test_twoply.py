@@ -52,9 +52,7 @@ def test_weighted_opponent_response_matches_oracle():
 
     jb = boards_to_jax(boards)  # [6]
     # candidate axis K=1: each board is its own candidate
-    jb_k = Board(
-        points=jb.points[:, None], bar=jb.bar[:, None], off=jb.off[:, None]
-    )
+    jb_k = Board(data=jb.data[:, None])
     opp = jnp.asarray(players, jnp.int32)
     got = np.asarray(
         jax.jit(
