@@ -262,6 +262,25 @@ def board_take(b: Board, idx: jax.Array) -> Board:
     return Board(data=jnp.take_along_axis(b.data, idx[..., None], axis=-2))
 
 
+def board_take_onehot(b: Board, idx: jax.Array) -> Board:
+    """board_take via a one-hot matmul on the MXU.
+
+    TPU row gathers measured 18-80ms at [4096, 512] scale; the equivalent
+    einsum with a one-hot selector runs in well under 1ms for entry-table
+    widths up to a few hundred. Exact: counts <= 15 are exact in bf16 and
+    each output sums exactly one nonzero product (f32 accumulation).
+    """
+    w = b.data.shape[-2]
+    oh = (idx[..., None] == jnp.arange(w, dtype=jnp.int32)).astype(jnp.bfloat16)
+    data = jnp.einsum(
+        "...kw,...wc->...kc",
+        oh,
+        b.data.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return Board(data=data.astype(jnp.int8))
+
+
 def board_where(pred: jax.Array, a: Board, b: Board) -> Board:
     """Per-entry select; pred bool[..., K] aligned with entry axis."""
     return Board(data=jnp.where(pred[..., None], a.data, b.data))

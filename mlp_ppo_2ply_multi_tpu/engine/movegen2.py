@@ -65,6 +65,7 @@ from mlp_ppo_2ply_multi_tpu.engine.movegen import (
     SlotTable,
     board_expand,
     board_take,
+    board_take_onehot,
     board_where,
     slot_params,
     slot_table,
@@ -182,7 +183,9 @@ def enumerate_nondoubles(
     ci = jnp.where(is_pair, koff // N_SLOTS, koff - N_SLOTS * N_SLOTS)
     cj = jnp.where(is_pair, koff % N_SLOTS, -1)
 
-    first = board_where(cpass == 0, board_take(pa.b1, ci), board_take(pb.b1, ci))
+    first = board_where(
+        cpass == 0, board_take_onehot(pa.b1, ci), board_take_onehot(pb.b1, ci)
+    )
 
     # second-submove parameters recomputed arithmetically on the gathered
     # first-ply boards; compacted cells are valid by construction, so the
@@ -203,9 +206,12 @@ def enumerate_nondoubles(
     has_pair = jnp.any(keep & kpair, axis=-1)
     keep = keep & (kpair | ~has_pair[..., None])
 
-    out2_idx, out_valid = _select_set_bits(keep, cfg.a_max)
-    out = board_take(after, out2_idx)
-    return MoveSet(boards=out, valid=out_valid, count=_popcount(out_valid))
+    # Q7 cap in survivor-rank order, but NO final compaction gather (a
+    # [4096, 512]-row gather measured 82ms): the move set keeps width
+    # nd_dedup_k with a non-contiguous valid mask.
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1)
+    keep = keep & (rank <= cfg.a_max)
+    return MoveSet(boards=after, valid=keep, count=_popcount(keep))
 
 
 # ---------------------------------------------------------------------------
@@ -254,11 +260,11 @@ def _expand(
     cv = child_valid.reshape(*child_valid.shape[:-2], w27)
     out_idx, out_ok = _select_set_bits(cv, width)
 
-    # parent boards via one contiguous row gather; submove params recomputed
-    # arithmetically from the slot index (no parallel-table gathers).
+    # parent boards via one-hot matmul (row gathers measured 5-20ms here);
+    # submove params recomputed arithmetically from the slot index.
     parent = out_idx // N_SLOTS
     slot = out_idx % N_SLOTS
-    pboards = board_take(front.boards, parent)
+    pboards = board_take_onehot(front.boards, parent)
     pw2 = player[..., None]
     sg, eg, hg = slot_params(pboards, pw2, die[..., None], slot)
     nboards = apply_submove(pboards, pw2, sg, eg, hg, out_ok)
@@ -307,7 +313,7 @@ def enumerate_doubles(
         v = ms.valid & use[..., None]
         idx, ok = _select_set_bits(v, width)
         return MoveSet(
-            boards=board_take(ms.boards, idx), valid=ok, count=_popcount(ok)
+            boards=board_take_onehot(ms.boards, idx), valid=ok, count=_popcount(ok)
         )
 
     a_max = cfg.a_max
@@ -381,6 +387,14 @@ def legal_moves(
         dd_valid = jnp.take(sub_valid, slot, axis=0) & in_range[:, None]
         dd_count = jnp.where(in_range, jnp.take(sub.count, slot), 0)
 
+    # nd keeps width nd_dedup_k (non-contiguous valid); pad dd (width a_max,
+    # contiguous) up to it before merging.
+    pad_n = nd.valid.shape[-1] - dd_valid.shape[-1]
+    if pad_n > 0:
+        dd_boards = Board(
+            data=jnp.pad(dd_boards.data, ((0, 0), (0, pad_n), (0, 0)))
+        )
+        dd_valid = jnp.pad(dd_valid, ((0, 0), (0, pad_n)))
     pred = jnp.broadcast_to(is_double[:, None], nd.valid.shape)
     out = MoveSet(
         boards=board_where(pred, dd_boards, nd.boards),

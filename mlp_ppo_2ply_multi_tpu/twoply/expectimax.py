@@ -93,8 +93,10 @@ def weighted_opponent_response(
         roll, prob, is_small = xs
         dice = jnp.broadcast_to(roll, (*boards.batch_shape, 2))
         ms = legal_moves(boards, opp_k, dice, mg)
-        idx = jnp.arange(ms.valid.shape[-1], dtype=jnp.int32)
-        valid = ms.valid & ((idx < cap) | ~is_small)
+        # "first cap moves in enumeration order" — by VALID-entry rank, since
+        # the canonical engine's valid mask need not be contiguous
+        rank = jnp.cumsum(ms.valid.astype(jnp.int32), axis=-1)
+        valid = ms.valid & ((rank <= cap) | ~is_small)
         feats = encode_board(ms.boards, opp_k[..., None])  # [..., K, A, 198]
         v = value_net.forward(params, feats, cfg.model)  # [..., K, A]
         v = jnp.where(valid, v, _NEG)

@@ -41,7 +41,8 @@ def main():
         )
         for g in range(n):
             want_l = [b for _, b in rules.full_moves(boards[g], players[g], list(dice[g]))]
-            got = [jax_board_to_tuple(ms.boards, g, k) for k in range(int(ms.count[g]))]
+            ks = np.where(ms.valid[g])[0]
+            got = [jax_board_to_tuple(ms.boards, g, int(k)) for k in ks]
             is_dbl = dice[g][0] == dice[g][1]
             ok = (set(got) == set(want_l) and len(got) == len(want_l)) if is_dbl else (got == want_l)
             if not ok:

@@ -57,8 +57,11 @@ def test_dd_subbatch_matches_full():
 
 
 def _got_boards(ms, g):
-    n = int(ms.count[g])
-    return [jax_board_to_tuple(ms.boards, g, k) for k in range(n)]
+    # the canonical engine's valid mask is not necessarily contiguous —
+    # enumerate valid entries in slot order (== insertion order)
+    ks = np.where(np.asarray(ms.valid[g]))[0]
+    assert len(ks) == int(ms.count[g])
+    return [jax_board_to_tuple(ms.boards, g, int(k)) for k in ks]
 
 
 def run_order_diff(jitted, seed, n, doubles_bias):
@@ -75,7 +78,6 @@ def run_order_diff(jitted, seed, n, doubles_bias):
         want = [b for _, b in rules.full_moves(boards[g], players[g], list(dice[g]))]
         got = _got_boards(ms, g)
         assert got == want, (g, dice[g], players[g], boards[g])
-        assert not ms.valid[g, int(ms.count[g]):].any()
 
 
 def run_set_diff(jitted, seed, n, doubles_bias):
