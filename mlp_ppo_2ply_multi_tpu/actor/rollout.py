@@ -135,3 +135,33 @@ def rollout(
 
     (state, _), traj = jax.lax.scan(body, (state, key), None, length=num_steps)
     return state, traj
+
+
+def rollout_loop(
+    params,
+    state: vec_env.EnvState,
+    key: jax.Array,
+    temperature: jax.Array,
+    cfg: Config,
+    num_steps: int,
+    continuous: bool = False,
+) -> Tuple[vec_env.EnvState, Transition]:
+    """Same contract as ``rollout`` but drives a single jitted step from a
+    Python loop and stacks the transitions on device.
+
+    The current TPU toolchain compiles lax.scan bodies that contain matmuls
+    pathologically slowly (>30min observed at batch 4096); one jitted step
+    dispatched per iteration compiles in ~2min and the dispatches pipeline.
+    """
+    ts = []
+    for _ in range(num_steps):
+        key, sub = jax.random.split(key)  # same stream as the scan variant
+        state, t = _jit_step(params, state, sub, temperature, cfg, continuous)
+        ts.append(t)
+    traj = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *ts)
+    return state, traj
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "continuous"))
+def _jit_step(params, state, key, temperature, cfg: Config, continuous: bool):
+    return rollout_step(params, state, key, temperature, cfg, continuous)

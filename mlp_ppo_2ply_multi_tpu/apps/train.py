@@ -100,8 +100,60 @@ def train_sync(cfg: Config, args, writer: MetricsWriter) -> td.TrainState:
     return state, key
 
 
+def train_continuous_single(cfg: Config, args, writer: MetricsWriter):
+    """Single-device continuous training driven by a python-loop rollout.
+
+    The lax.scan-based SPMD step compiles pathologically slowly on the
+    current TPU toolchain; this path dispatches one jitted actor step per env
+    step (dispatches pipeline) and runs the fused TD(0) update per window.
+    """
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, per_episode_updates=False)
+    )
+    key = jax.random.PRNGKey(cfg.train.seed)
+    key, k_init, k_env = jax.random.split(key, 3)
+    state = td.init_train_state(k_init, cfg)
+    if args.resume:
+        state, key, step0 = ckpt.restore(cfg.train.checkpoint_dir, state)
+        print(f"resumed from step {step0}")
+    env_state = vec_env.reset(k_env, cfg.train.batch_games)
+
+    tput = Throughput()
+    last_saved = int(state.episode_count)
+    for u in range(args.updates):
+        key, k_roll = jax.random.split(key)
+        temp = td.temperature(state.version, cfg)
+        env_state, traj = actor.rollout_loop(
+            state.params, env_state, k_roll, temp, cfg,
+            args.steps_per_update, continuous=True,
+        )
+        state, metrics = td.update(state, traj, cfg)
+        metrics = jax.device_get(metrics)
+        eps = int(np.sum(np.asarray(jax.device_get(traj.boundary))))
+        tput.add(episodes=eps, env_steps=cfg.train.batch_games * args.steps_per_update)
+        writer.scalars(
+            int(state.episode_count),
+            {**{k: float(np.mean(v)) for k, v in metrics.items()}, **tput.rates(),
+             "temperature": float(temp)},
+        )
+        if int(state.episode_count) - last_saved >= cfg.train.checkpoint_every_episodes:
+            ckpt.save(cfg.train.checkpoint_dir, state, key)
+            last_saved = int(state.episode_count)
+        if u % max(1, args.log_every) == 0:
+            r = tput.rates()
+            print(
+                f"update {u} episodes {int(state.episode_count)} "
+                f"loss {float(np.mean(metrics['loss'])):.5f} "
+                f"env-steps/s {r['env_steps_per_sec']:.0f}",
+                flush=True,
+            )
+    return state, key
+
+
 def train_continuous(cfg: Config, args, writer: MetricsWriter) -> td.TrainState:
     """SPMD continuous training over a {data, model} mesh."""
+    if args.data == 1 and args.model == 1:
+        return train_continuous_single(cfg, args, writer)
     mesh = sharding.make_mesh(args.data, args.model)
     tp = args.model > 1
     key = jax.random.PRNGKey(cfg.train.seed)
