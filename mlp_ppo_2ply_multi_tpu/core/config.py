@@ -100,6 +100,13 @@ class TrainConfig:
     grad_clip: float = 1.0  # reference configuration.py:18
     # Q2: True = reference-parity sequential per-episode Adam steps.
     per_episode_updates: bool = True
+    # Q3 fix-behind-flag: the reference bootstraps POSITIVELY from the
+    # opponent-to-move successor (trainer.py:111-116), which trains a
+    # "someone wins soon" progress signal — its own 2.1M-episode checkpoint
+    # scores ~48% vs random (measured, PERF/RESULTS). True applies the
+    # negamax sign flip (target = r - gamma * V(next)), training a
+    # mover-advantage value that actually wins. Default False = parity.
+    td_sign_flip: bool = False
     # Temperature schedule (reference configuration.py:23-25 and
     # parameter_manager.py:93-111: linear in the update counter).
     initial_temperature: float = 1.5

@@ -68,20 +68,27 @@ def temperature(version: jax.Array, cfg: Config) -> jax.Array:
 
 
 def _episode_targets(
-    v: jax.Array, reward: jax.Array, recorded: jax.Array, boundary: jax.Array, gamma: float
+    v: jax.Array,
+    reward: jax.Array,
+    recorded: jax.Array,
+    boundary: jax.Array,
+    gamma: float,
+    sign: float = 1.0,
 ) -> jax.Array:
     """Per-column TD targets over the time axis (axis 0).
 
     Reverse scan carrying the value of the next recorded experience; the
     carry resets at episode boundaries so truncated episodes bootstrap with
-    just their final reward (quirk Q9).
+    just their final reward (quirk Q9). ``sign``=+1 reproduces the
+    reference's positive bootstrap from the opponent's state (Q3); -1 is the
+    negamax fix (TrainConfig.td_sign_flip).
     """
 
     def back(carry, xs):
         nxt_v, nxt_has = carry
         v_t, r_t, rec_t, bnd_t = xs
         has = nxt_has & ~bnd_t
-        tgt = r_t + jnp.where(has, gamma * nxt_v, 0.0)
+        tgt = r_t + jnp.where(has, sign * gamma * nxt_v, 0.0)
         nxt_v = jnp.where(rec_t, v_t, nxt_v)
         nxt_has = rec_t | (nxt_has & ~bnd_t)
         return (nxt_v, nxt_has), tgt
@@ -97,7 +104,10 @@ def episode_loss_and_metrics(params, obs, reward, recorded, boundary, cfg: Confi
     """Masked per-episode-mean MSE (trainer.py:104-118) over [T, ...] data."""
     v = value_net.forward(params, obs, cfg.model)  # [T, ...]
     targets = jax.lax.stop_gradient(
-        _episode_targets(v, reward, recorded, boundary, cfg.train.gamma)
+        _episode_targets(
+            v, reward, recorded, boundary, cfg.train.gamma,
+            sign=-1.0 if cfg.train.td_sign_flip else 1.0,
+        )
     )
     m = recorded.astype(jnp.float32)
     n = jnp.maximum(jnp.sum(m, axis=0), 1.0)

@@ -1,0 +1,52 @@
+"""2-ply expectimax throughput (BASELINE.md asks for env-steps/s at 1-ply AND
+2-ply). Run on the TPU: python scripts/bench_twoply.py [batch] [steps]"""
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from mlp_ppo_2ply_multi_tpu.core.config import Config, TwoPlyConfig
+from mlp_ppo_2ply_multi_tpu.actor import rollout as actor
+from mlp_ppo_2ply_multi_tpu.env import vec_env
+from mlp_ppo_2ply_multi_tpu.learner import td
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    cfg = Config(twoply=TwoPlyConfig(enabled=True))
+    key = jax.random.PRNGKey(0)
+    params = td.init_train_state(key, cfg).params
+    state = vec_env.reset(jax.random.fold_in(key, 1), batch)
+    temp = td.temperature(jnp.zeros((), jnp.int32), cfg)
+
+    k = jax.random.PRNGKey(1)
+    for _ in range(2):
+        k, sub = jax.random.split(k)
+        state, _ = actor._jit_step(params, state, sub, temp, cfg, True)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        k, sub = jax.random.split(k)
+        state, _ = actor._jit_step(params, state, sub, temp, cfg, True)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec_per_chip_2ply",
+                "value": round(batch * steps / dt, 1),
+                "unit": "env-steps/s/chip",
+                "batch": batch,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
