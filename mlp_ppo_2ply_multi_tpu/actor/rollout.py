@@ -58,12 +58,21 @@ def select_action(
 
     Returns (action, v_obs). The current observation is evaluated in the same
     forward pass as the candidates, mirroring worker.py:115-125.
+
+    td_mode="side0" (TD-Gammon semantics): afterstates are encoded with the
+    truthful side-to-move flag (the opponent, who is on roll after the move)
+    and side 1 minimizes the side-0 value.
     """
+    side0 = cfg.train.td_mode == "side0"
+    cand_flag = (1 - state.player) if side0 else state.player
     obs = encode_board(state.board, state.player)  # [B, 198]
-    cand = encode_board(moves.boards, state.player[..., None])  # [B, A, 198]
+    cand = encode_board(moves.boards, cand_flag[..., None])  # [B, A, 198]
     x = jnp.concatenate([obs[..., None, :], cand], axis=-2)  # [B, A+1, 198]
     v = value_net.forward(params, x, cfg.model)  # [B, A+1]
     v_obs, v_moves = v[..., 0], v[..., 1:]
+    if side0:
+        sgn = jnp.where(state.player == 0, 1.0, -1.0)[..., None]
+        v_moves = v_moves * sgn
     logits = jnp.where(moves.valid, v_moves / temperature, _NEG)
     action = jax.random.categorical(key, logits, axis=-1)
     return action, v_obs

@@ -49,11 +49,20 @@ def main(argv=None) -> int:
     ap.add_argument("--small-movegen", action="store_true")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                     help="force a JAX backend (must be set before first use)")
+    ap.add_argument("--td-mode", choices=("reference", "negamax", "side0"),
+                    default="reference",
+                    help="value-orientation semantics the checkpoint was "
+                         "trained with (side0: side 1 minimizes)")
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    cfg = Config(twoply=TwoPlyConfig(enabled=True))
+    from mlp_ppo_2ply_multi_tpu.core.config import TrainConfig
+
+    cfg = Config(
+        twoply=TwoPlyConfig(enabled=True),
+        train=TrainConfig(td_mode=args.td_mode),
+    )
     if args.small_movegen:
         cfg = dataclasses.replace(
             cfg, movegen=MoveGenConfig(w1=16, w2=32, w3=48, w4=64, a_max=64)

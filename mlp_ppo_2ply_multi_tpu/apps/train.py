@@ -44,7 +44,7 @@ def build_config(args) -> Config:
     train = TrainConfig(
         batch_games=args.batch_games,
         per_episode_updates=args.per_episode_updates,
-        td_sign_flip=args.td_sign_flip,
+        td_mode=args.td_mode,
         rollout_mode=args.mode,
         seed=args.seed,
         checkpoint_every_episodes=args.checkpoint_every,
@@ -202,9 +202,11 @@ def main(argv=None) -> int:
     ap.add_argument("--steps-per-update", type=int, default=64)
     ap.add_argument("--per-episode-updates", action="store_true",
                     help="Q2 parity: sequential Adam step per episode (sync mode)")
-    ap.add_argument("--td-sign-flip", action="store_true",
-                    help="Q3 fix: negamax bootstrap (reference semantics train "
-                         "a progress signal that does not beat random)")
+    ap.add_argument("--td-mode", choices=("reference", "negamax", "side0"),
+                    default="reference",
+                    help="TD semantics (RESULTS.md): reference = Q3 parity; "
+                         "side0 = TD-Gammon fix (side-0 value, side 1 "
+                         "minimizes); negamax kept as a negative result")
     ap.add_argument("--data", type=int, default=None,
                     help="data-axis mesh size (default: all devices / --model)")
     ap.add_argument("--model", type=int, default=1)

@@ -100,13 +100,20 @@ class TrainConfig:
     grad_clip: float = 1.0  # reference configuration.py:18
     # Q2: True = reference-parity sequential per-episode Adam steps.
     per_episode_updates: bool = True
-    # Q3 fix-behind-flag: the reference bootstraps POSITIVELY from the
-    # opponent-to-move successor (trainer.py:111-116), which trains a
-    # "someone wins soon" progress signal — its own 2.1M-episode checkpoint
-    # scores ~48% vs random (measured, PERF/RESULTS). True applies the
-    # negamax sign flip (target = r - gamma * V(next)), training a
-    # mover-advantage value that actually wins. Default False = parity.
-    td_sign_flip: bool = False
+    # Q3 fix-behind-flag (measured in RESULTS.md):
+    #   "reference" — the reference's positive bootstrap from the opponent's
+    #     successor (trainer.py:111-116). Trains a "someone wins soon"
+    #     progress signal; the reference's own 2.1M-episode checkpoint wins
+    #     only ~48% vs RANDOM. Default, for learning-curve parity.
+    #   "negamax" — target = r - gamma*V(next) (player-aware). Demands sign
+    #     alternation that the 2-bit side flag cannot anchor in practice; a
+    #     perspective-blind net resolves it with parity heuristics and
+    #     learns to LOSE (~3% vs random measured). Kept as a documented
+    #     negative result.
+    #   "side0" — TD-Gammon semantics: V estimates side-0's outcome, rewards
+    #     signed by mover, no bootstrap flip; the actor maximizes for side 0
+    #     and minimizes for side 1.
+    td_mode: str = "reference"
     # Temperature schedule (reference configuration.py:23-25 and
     # parameter_manager.py:93-111: linear in the update counter).
     initial_temperature: float = 1.5

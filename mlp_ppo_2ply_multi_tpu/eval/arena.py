@@ -26,14 +26,26 @@ _NEG = -1e9
 Policy = Callable[[dict, vec_env.EnvState, MoveSet, jax.Array], jax.Array]
 
 
+def _candidate_values(params, state, moves, cfg: Config) -> jax.Array:
+    """Afterstate values oriented so HIGHER is better for the mover, under
+    the configured td_mode (side0: truthful opponent-on-roll flag, side 1
+    minimizes the side-0 value)."""
+    if cfg.train.td_mode == "side0":
+        flag = (1 - state.player)[..., None]
+        v = value_net.forward(params, encode_board(moves.boards, flag), cfg.model)
+        return v * jnp.where(state.player == 0, 1.0, -1.0)[..., None]
+    v = value_net.forward(
+        params, encode_board(moves.boards, state.player[..., None]), cfg.model
+    )
+    return v
+
+
 def greedy_policy(cfg: Config) -> Policy:
     """argmax over afterstate values — the reference play CLI's agent
     (play_versus_ai.py:165-195)."""
 
     def act(params, state, moves, key):
-        v = value_net.forward(
-            params, encode_board(moves.boards, state.player[..., None]), cfg.model
-        )
+        v = _candidate_values(params, state, moves, cfg)
         return jnp.argmax(jnp.where(moves.valid, v, _NEG), axis=-1)
 
     return act
@@ -41,9 +53,7 @@ def greedy_policy(cfg: Config) -> Policy:
 
 def softmax_policy(cfg: Config, temperature: float) -> Policy:
     def act(params, state, moves, key):
-        v = value_net.forward(
-            params, encode_board(moves.boards, state.player[..., None]), cfg.model
-        )
+        v = _candidate_values(params, state, moves, cfg)
         logits = jnp.where(moves.valid, v / temperature, _NEG)
         return jax.random.categorical(key, logits, axis=-1)
 

@@ -73,40 +73,63 @@ def _episode_targets(
     recorded: jax.Array,
     boundary: jax.Array,
     gamma: float,
-    sign: float = 1.0,
+    td_mode: str = "reference",
+    player: jax.Array = None,
 ) -> jax.Array:
     """Per-column TD targets over the time axis (axis 0).
 
     Reverse scan carrying the value of the next recorded experience; the
     carry resets at episode boundaries so truncated episodes bootstrap with
-    just their final reward (quirk Q9). ``sign``=+1 reproduces the
-    reference's positive bootstrap from the opponent's state (Q3); -1 is the
-    negamax fix (TrainConfig.td_sign_flip).
+    just their final reward (quirk Q9).
+
+    td_mode (TrainConfig.td_mode, measured comparison in RESULTS.md):
+      "reference" — positive bootstrap from the opponent's state (Q3).
+      "negamax"   — successor value negated when the next recorded mover is
+        the OTHER player (consecutive recorded steps can share a mover when
+        the opponent danced on the bar, worker.py:106-113, so the sign
+        compares players rather than alternating blindly).
+      "side0"     — rewards signed by mover (+ for side 0, - for side 1),
+        no bootstrap flip: V estimates side-0's discounted outcome.
     """
+    if player is None:
+        player = jnp.zeros_like(recorded, dtype=jnp.int32)
 
     def back(carry, xs):
-        nxt_v, nxt_has = carry
-        v_t, r_t, rec_t, bnd_t = xs
+        nxt_v, nxt_pl, nxt_has = carry
+        v_t, r_t, rec_t, bnd_t, pl_t = xs
         has = nxt_has & ~bnd_t
-        tgt = r_t + jnp.where(has, sign * gamma * nxt_v, 0.0)
+        if td_mode == "negamax":
+            s = jnp.where(pl_t == nxt_pl, 1.0, -1.0)
+        else:
+            s = 1.0
+        if td_mode == "side0":
+            r_t = jnp.where(pl_t == 0, r_t, -r_t)
+        tgt = r_t + jnp.where(has, s * gamma * nxt_v, 0.0)
         nxt_v = jnp.where(rec_t, v_t, nxt_v)
+        nxt_pl = jnp.where(rec_t, pl_t, nxt_pl)
         nxt_has = rec_t | (nxt_has & ~bnd_t)
-        return (nxt_v, nxt_has), tgt
+        return (nxt_v, nxt_pl, nxt_has), tgt
 
-    init = (jnp.zeros_like(v[0]), jnp.zeros_like(recorded[0]))
+    init = (
+        jnp.zeros_like(v[0]),
+        jnp.zeros_like(player[0]),
+        jnp.zeros_like(recorded[0]),
+    )
     _, targets = jax.lax.scan(
-        back, init, (v, reward, recorded, boundary), reverse=True
+        back, init, (v, reward, recorded, boundary, player), reverse=True
     )
     return targets
 
 
-def episode_loss_and_metrics(params, obs, reward, recorded, boundary, cfg: Config):
+def episode_loss_and_metrics(
+    params, obs, reward, recorded, boundary, cfg: Config, player=None
+):
     """Masked per-episode-mean MSE (trainer.py:104-118) over [T, ...] data."""
     v = value_net.forward(params, obs, cfg.model)  # [T, ...]
     targets = jax.lax.stop_gradient(
         _episode_targets(
             v, reward, recorded, boundary, cfg.train.gamma,
-            sign=-1.0 if cfg.train.td_sign_flip else 1.0,
+            td_mode=cfg.train.td_mode, player=player,
         )
     )
     m = recorded.astype(jnp.float32)
@@ -144,6 +167,7 @@ def update(state: TrainState, traj: Transition, cfg: Config):
                 ep["recorded"],
                 ep["boundary"],
                 cfg,
+                ep["player"],
             )
             gnorm = optax.global_norm(grads)
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -160,6 +184,7 @@ def update(state: TrainState, traj: Transition, cfg: Config):
             "reward": traj.reward.T,
             "recorded": traj.recorded.T,
             "boundary": traj.boundary.T,
+            "player": traj.player.T,
         }
         (params, opt_state), ms = jax.lax.scan(
             body, (state.params, state.opt_state), episodes
@@ -167,7 +192,8 @@ def update(state: TrainState, traj: Transition, cfg: Config):
         metrics = {k: jnp.mean(v) for k, v in ms.items()}
     else:
         (loss, aux), grads = grad_fn(
-            state.params, obs, traj.reward, traj.recorded, traj.boundary, cfg
+            state.params, obs, traj.reward, traj.recorded, traj.boundary, cfg,
+            traj.player,
         )
         gnorm = optax.global_norm(grads)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)

@@ -148,7 +148,8 @@ def make_train_step(mesh: Mesh, cfg: Config, num_steps: int, tp: bool = False):
         obs = td.encode_traj(traj, lcfg)
         grad_fn = jax.value_and_grad(td.episode_loss_and_metrics, has_aux=True)
         (loss, aux), grads = grad_fn(
-            state.params, obs, traj.reward, traj.recorded, traj.boundary, lcfg
+            state.params, obs, traj.reward, traj.recorded, traj.boundary, lcfg,
+            traj.player,
         )
         grads = jax.lax.pmean(grads, DATA_AXIS)
         loss = jax.lax.pmean(loss, DATA_AXIS)

@@ -110,3 +110,40 @@ def test_fast_mode_changes_params_once():
         not np.allclose(np.asarray(ts.params[k]), np.asarray(new_ts.params[k]))
         for k in ts.params
     )
+
+
+def test_td_sign_flip_targets():
+    """Negamax targets: successor negated across players, NOT negated when
+    the next recorded mover is the same player (opponent danced)."""
+    import jax.numpy as jnp
+    from mlp_ppo_2ply_multi_tpu.learner.td import _episode_targets
+
+    # one column, T=4: players [0, 1, 1, 0]; step1->step2 same player (1)
+    v = jnp.array([[0.1], [0.2], [0.3], [0.4]], jnp.float32)
+    r = jnp.array([[0.0], [0.0], [0.0], [1.0]], jnp.float32)
+    rec = jnp.ones((4, 1), bool)
+    bnd = jnp.array([[False], [False], [False], [True]])
+    pl = jnp.array([[0], [1], [1], [0]], jnp.int32)
+    g = 0.9
+
+    t_flip = _episode_targets(v, r, rec, bnd, g, td_mode="negamax", player=pl)
+    # t3 = 1.0 (terminal); t2 = 0 - g*0.4 (player 1 -> 0 flips);
+    # t1 = 0 + g*0.3 (player 1 -> 1, same, no flip); t0 = 0 - g*0.2
+    want = [[-g * 0.2], [g * 0.3], [-g * 0.4], [1.0]]
+    np.testing.assert_allclose(np.asarray(t_flip), want, rtol=1e-6)
+
+    t_ref = _episode_targets(v, r, rec, bnd, g, td_mode="reference", player=pl)
+    want_ref = [[g * 0.2], [g * 0.3], [g * 0.4], [1.0]]
+    np.testing.assert_allclose(np.asarray(t_ref), want_ref, rtol=1e-6)
+
+    # side0: rewards signed by mover (winner here is player 0 at t3), no
+    # bootstrap flip
+    t_s0 = _episode_targets(v, r, rec, bnd, g, td_mode="side0", player=pl)
+    want_s0 = [[g * 0.2], [g * 0.3], [g * 0.4], [1.0]]
+    np.testing.assert_allclose(np.asarray(t_s0), want_s0, rtol=1e-6)
+    # and with a player-1 win the terminal reward is negated
+    pl2 = jnp.array([[1], [0], [0], [1]], jnp.int32)
+    t_s0b = _episode_targets(v, r, rec, bnd, g, td_mode="side0", player=pl2)
+    np.testing.assert_allclose(
+        np.asarray(t_s0b), [[g * 0.2], [g * 0.3], [g * 0.4], [-1.0]], rtol=1e-6
+    )

