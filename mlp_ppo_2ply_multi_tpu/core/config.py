@@ -89,6 +89,16 @@ class MoveGenConfig:
     # overflow probability ~30 sigma below ever happening at batch >= 1024.
     dd_subbatch_div: int = 3
 
+    @classmethod
+    def fast(cls) -> "MoveGenConfig":
+        """Reduced widths for production throughput, sized ~2x above the
+        maxima observed over randomized play audits (scripts/audit_widths.py:
+        pre-dedup non-doubles max 175 of 384; doubles levels max
+        [9, 42, 139, 373] of [16, 96, 224, 448]). Positions beyond these
+        widths lose their highest-rank candidates — the same truncation
+        class as the reference's own 500-move cap (Q7)."""
+        return cls(w1=16, w2=96, w3=224, w4=448, nd_dedup_k=384)
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:

@@ -387,14 +387,21 @@ def legal_moves(
         dd_valid = jnp.take(sub_valid, slot, axis=0) & in_range[:, None]
         dd_count = jnp.where(in_range, jnp.take(sub.count, slot), 0)
 
-    # nd keeps width nd_dedup_k (non-contiguous valid); pad dd (width a_max,
-    # contiguous) up to it before merging.
-    pad_n = nd.valid.shape[-1] - dd_valid.shape[-1]
-    if pad_n > 0:
-        dd_boards = Board(
-            data=jnp.pad(dd_boards.data, ((0, 0), (0, pad_n), (0, 0)))
+    # nd keeps width nd_dedup_k (non-contiguous valid); dd is width a_max
+    # (contiguous). Pad the narrower side before merging.
+    width = max(nd.valid.shape[-1], dd_valid.shape[-1])
+    def pad_to(boards_, valid_):
+        p = width - valid_.shape[-1]
+        if p <= 0:
+            return boards_, valid_
+        return (
+            Board(data=jnp.pad(boards_.data, ((0, 0), (0, p), (0, 0)))),
+            jnp.pad(valid_, ((0, 0), (0, p))),
         )
-        dd_valid = jnp.pad(dd_valid, ((0, 0), (0, pad_n)))
+
+    dd_boards, dd_valid = pad_to(dd_boards, dd_valid)
+    nd_boards, nd_valid = pad_to(nd.boards, nd.valid)
+    nd = MoveSet(boards=nd_boards, valid=nd_valid, count=nd.count)
     pred = jnp.broadcast_to(is_double[:, None], nd.valid.shape)
     out = MoveSet(
         boards=board_where(pred, dd_boards, nd.boards),

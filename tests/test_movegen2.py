@@ -235,3 +235,17 @@ def test_canonical_env_rollout_membership():
                 if d:
                     done[g] = True
         state = res.state
+
+
+def test_fast_preset_matches_oracle():
+    """The production 'fast' width preset must still match the oracle on
+    random positions (sets for doubles, order for non-doubles)."""
+    fast = MoveGenConfig.fast()
+    cfg = MoveGenConfig(
+        algo="canonical", dd_subbatch_div=0,
+        w1=fast.w1, w2=fast.w2, w3=fast.w3, w4=fast.w4,
+        nd_dedup_k=fast.nd_dedup_k,
+    )
+    jf = jax.jit(lambda b, p, d: MG2.legal_moves(b, p, d, cfg))
+    run_set_diff(jf, 777, 96, doubles_bias=0.4)
+    run_order_diff(jf, 778, 96, doubles_bias=0.0)
