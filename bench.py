@@ -43,23 +43,39 @@ def run(batch: int, steps: int, warmup: int = 8, cfg=None) -> float:
         )
         return new_state
 
+    import numpy as np
+
     keys = jax.random.split(jax.random.PRNGKey(1), warmup + steps)
     for i in range(warmup):
         state = step(state, keys[i])
-    jax.block_until_ready(state)
+    np.asarray(state.board.data)
 
     t0 = time.perf_counter()
     for i in range(steps):
         state = step(state, keys[warmup + i])
-    jax.block_until_ready(state)
+    # host fetch: block_until_ready alone has been observed to return before
+    # device completion through the tunnel backend
+    np.asarray(state.board.data)
     dt = time.perf_counter() - t0
     return batch * steps / dt
+
+
+def production_config() -> Config:
+    """Throughput configuration: the audit-validated fast movegen widths
+    (MoveGenConfig.fast, ~2x above observed maxima — same truncation class as
+    the reference's own 500-move cap, Q7) and a bfloat16 value-net forward
+    (sampling tolerates bf16; checkpoint-parity eval stays f32)."""
+    from mlp_ppo_2ply_multi_tpu.core.config import ModelConfig, MoveGenConfig
+
+    return Config(
+        movegen=MoveGenConfig.fast(), model=ModelConfig(dtype="bfloat16")
+    )
 
 
 def main() -> None:
     on_accel = jax.default_backend() not in ("cpu",)
     if on_accel:
-        value = run(batch=4096, steps=50)
+        value = run(batch=4096, steps=50, cfg=production_config())
     else:
         # CPU smoke mode: tiny shapes + reduced movegen widths so the run
         # (dominated by XLA compile time) finishes in minutes.

@@ -98,10 +98,16 @@ def human_action(params, env: OracleEnv, show_values: bool) -> int:
     while True:
         try:
             s = input(f"your move [0-{env.num_moves - 1}]: ").strip()
+        except EOFError:
+            # stdin closed (piped input exhausted) — quit instead of
+            # reprompting forever
+            print("\nstdin closed — quitting")
+            raise SystemExit(0)
+        try:
             a = int(s)
             if 0 <= a < env.num_moves:
                 return a
-        except (ValueError, EOFError):
+        except ValueError:
             pass
         print("invalid choice")
 

@@ -343,6 +343,52 @@ def _flat_take0(tree, idx: jax.Array):
     return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), tree)
 
 
+def _unflatten_moveset(ms: MoveSet, batch_shape) -> MoveSet:
+    a = ms.valid.shape[-1]
+    return MoveSet(
+        boards=jax.tree.map(
+            lambda x: x.reshape(*batch_shape, a, *x.shape[2:]), ms.boards
+        ),
+        valid=ms.valid.reshape(*batch_shape, a),
+        count=ms.count.reshape(batch_shape),
+    )
+
+
+def enumerate_nondoubles_batched(
+    board: Board, player: jax.Array, dice: jax.Array, cfg: MoveGenConfig
+) -> MoveSet:
+    """enumerate_nondoubles over an arbitrary batch shape (player/dice may
+    broadcast); used by the 2-ply scorer's fixed non-double rolls."""
+    bs = board.batch_shape
+    n = int(np.prod(bs)) if bs else 1
+    fb = jax.tree.map(lambda a: a.reshape(n, *a.shape[len(bs):]), board)
+    fp = jnp.broadcast_to(player, bs).reshape(n)
+    fd = jnp.broadcast_to(dice, (*bs, 2)).reshape(n, 2)
+    return _unflatten_moveset(enumerate_nondoubles(fb, fp, fd, cfg), bs)
+
+
+def enumerate_doubles_batched(
+    board: Board, player: jax.Array, die: jax.Array, cfg: MoveGenConfig
+) -> MoveSet:
+    """enumerate_doubles over an arbitrary batch shape, padded to the same
+    output width as the non-doubles path so scan carries stay uniform."""
+    bs = board.batch_shape
+    n = int(np.prod(bs)) if bs else 1
+    fb = jax.tree.map(lambda a: a.reshape(n, *a.shape[len(bs):]), board)
+    fp = jnp.broadcast_to(player, bs).reshape(n)
+    fd = jnp.broadcast_to(die, bs).reshape(n).astype(jnp.int32)
+    ms = enumerate_doubles(fb, fp, fd, cfg)
+    width = max(cfg.a_max, cfg.nd_dedup_k)
+    p = width - ms.valid.shape[-1]
+    if p > 0:
+        ms = MoveSet(
+            boards=Board(data=jnp.pad(ms.boards.data, ((0, 0), (0, p), (0, 0)))),
+            valid=jnp.pad(ms.valid, ((0, 0), (0, p))),
+            count=ms.count,
+        )
+    return _unflatten_moveset(ms, bs)
+
+
 def legal_moves(
     board: Board, player: jax.Array, dice: jax.Array, cfg: MoveGenConfig
 ) -> MoveSet:

@@ -24,17 +24,22 @@ def main():
     state = vec_env.reset(jax.random.fold_in(key, 1), batch)
     temp = td.temperature(jnp.zeros((), jnp.int32), cfg)
 
+    import numpy as np
+
     k = jax.random.PRNGKey(1)
     for _ in range(2):
         k, sub = jax.random.split(k)
         state, _ = actor._jit_step(params, state, sub, temp, cfg, True)
-    jax.block_until_ready(state)
+    # host fetch so warmup/compile cannot spill into the timed window
+    np.asarray(state.board.data)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         k, sub = jax.random.split(k)
         state, _ = actor._jit_step(params, state, sub, temp, cfg, True)
-    jax.block_until_ready(state)
+    # force a host fetch: block_until_ready alone has been observed to return
+    # before device completion through the tunnel backend
+    np.asarray(state.board.data)
     dt = time.perf_counter() - t0
     print(
         json.dumps(
