@@ -281,6 +281,19 @@ def board_take_onehot(b: Board, idx: jax.Array) -> Board:
     return Board(data=data.astype(jnp.int8))
 
 
+def board_take_oh(b: Board, oh: jax.Array) -> Board:
+    """board_take_onehot with a caller-supplied one-hot selector
+    bool[..., K, W] (e.g. the boundary-block one-hot already computed by a
+    blocked set-bit select) so the selector is built once."""
+    data = jnp.einsum(
+        "...kw,...wc->...kc",
+        oh.astype(jnp.bfloat16),
+        b.data.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return Board(data=data.astype(jnp.int8))
+
+
 def board_where(pred: jax.Array, a: Board, b: Board) -> Board:
     """Per-entry select; pred bool[..., K] aligned with entry axis."""
     return Board(data=jnp.where(pred[..., None], a.data, b.data))

@@ -65,6 +65,7 @@ from mlp_ppo_2ply_multi_tpu.engine.movegen import (
     SlotTable,
     board_expand,
     board_take,
+    board_take_oh,
     board_take_onehot,
     board_where,
     slot_params,
@@ -94,6 +95,76 @@ def _select_set_bits(valid: jax.Array, width: int) -> Tuple[jax.Array, jax.Array
     )
     ok = ks < total[..., None]
     return jnp.minimum(idx, cs.shape[-1] - 1), ok
+
+
+def _select_set_bits_blocked(
+    valid2: jax.Array, width: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Two-level k-th-set-bit select over a [..., NB, BLOCK] blocked mask.
+
+    Equivalent to ``_select_set_bits(valid2.reshape(..., NB*BLOCK), width)``
+    with the flat index decomposed as ``blk * BLOCK + loc``, but the
+    irreducible width x n compare-reduce (the VPU hot spot of the flat
+    version, ~8ms at [4096, 1512] x 384) is restructured:
+
+      * boundary-block search:  width x NB int compares (n/BLOCK of the work)
+      * per-block local ranks:  NB x BLOCK x BLOCK, values <= BLOCK
+      * the width x NB x BLOCK product runs as a one-hot einsum on the MXU —
+        exact, since local cumsums <= BLOCK and one-hot rows have a single
+        nonzero (f32 accumulation)
+
+    Returns (blk int32[..., width], loc int32[..., width], ok bool, and the
+    boundary-block one-hot bool[..., width, NB] — callers that gather
+    per-parent data (boards, flags) can reuse it instead of building their
+    own selector).
+    """
+    nb, block = valid2.shape[-2], valid2.shape[-1]
+    vi = valid2.astype(jnp.int32)
+    c = jnp.sum(vi, axis=-1)  # [..., NB]
+    cum = jnp.cumsum(c, axis=-1)  # inclusive
+    total = cum[..., -1]
+    ks = jnp.arange(width, dtype=jnp.int32)
+    blk = jnp.sum((cum[..., :, None] <= ks).astype(jnp.int32), axis=-2)
+    blk = jnp.minimum(blk, nb - 1)
+    oh_b = blk[..., None] == jnp.arange(nb, dtype=jnp.int32)  # [..., width, NB]
+    start = jnp.sum(
+        jnp.where(oh_b, (cum - c)[..., None, :], 0), axis=-1
+    )  # rank offset of the boundary block
+    r = ks - start  # local rank within the boundary block
+    lcs = jnp.cumsum(vi, axis=-1)  # [..., NB, BLOCK]
+    sel_lcs = jnp.einsum(
+        "...kb,...bj->...kj",
+        oh_b.astype(jnp.bfloat16),
+        lcs.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    loc = jnp.sum((sel_lcs <= r[..., None].astype(jnp.float32)).astype(jnp.int32), axis=-1)
+    loc = jnp.minimum(loc, block - 1)
+    ok = ks < total[..., None]
+    return blk, loc, ok, oh_b
+
+
+_BLOCK_OF = {}  # n -> block size (divisor near sqrt(n)), memoized
+
+
+def _pick_block(n: int) -> int:
+    if n not in _BLOCK_OF:
+        root = int(np.sqrt(n))
+        cands = [b for b in range(max(2, root // 3), min(n, root * 3) + 1) if n % b == 0]
+        _BLOCK_OF[n] = min(cands, key=lambda b: abs(b - root)) if cands else 0
+    return _BLOCK_OF[n]
+
+
+def _select_set_bits_fast(valid: jax.Array, width: int) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in _select_set_bits that uses the blocked path when the flat
+    width factors nicely and is big enough to matter."""
+    n = valid.shape[-1]
+    block = _pick_block(n)
+    if n < 256 or block == 0:
+        return _select_set_bits(valid, width)
+    v2 = valid.reshape(*valid.shape[:-1], n // block, block)
+    blk, loc, ok, _ = _select_set_bits_blocked(v2, width)
+    return jnp.minimum(blk * block + loc, n - 1), ok
 
 
 # ---------------------------------------------------------------------------
@@ -175,13 +246,16 @@ def enumerate_nondoubles(
     # materialize their afterstate boards. Candidate index -> (pass, i, j) is
     # closed-form arithmetic (table gathers measured ~17ms each at B=4096).
     K = cfg.nd_dedup_k
-    kidx, kok = _select_set_bits(valid, K)
-    ph = N_SLOTS * N_SLOTS + N_SLOTS
-    cpass = (kidx >= ph).astype(jnp.int32)
-    koff = kidx - cpass * ph
-    is_pair = koff < N_SLOTS * N_SLOTS
-    ci = jnp.where(is_pair, koff // N_SLOTS, koff - N_SLOTS * N_SLOTS)
-    cj = jnp.where(is_pair, koff % N_SLOTS, -1)
+    # Blocked select over the natural 27-wide structure: blocks 0..26 are
+    # pass-A pairs (block = first slot i, local = second slot j), block 27 is
+    # pass-A singles (local = i), blocks 28..54 pass-B pairs, 55 B singles.
+    valid2 = valid.reshape(*valid.shape[:-1], 2 * (N_SLOTS + 1), N_SLOTS)
+    blk, loc, kok, _ = _select_set_bits_blocked(valid2, K)
+    cpass = (blk >= N_SLOTS + 1).astype(jnp.int32)
+    bb = blk - cpass * (N_SLOTS + 1)
+    is_pair = bb < N_SLOTS
+    ci = jnp.where(is_pair, bb, loc)
+    cj = jnp.where(is_pair, loc, -1)
 
     first = board_where(
         cpass == 0, board_take_onehot(pa.b1, ci), board_take_onehot(pb.b1, ci)
@@ -256,15 +330,13 @@ def _expand(
     rank = _slot_rank(st, pw)
     child_valid = front.valid[..., None] & st.valid & (rank >= front.last_rank[..., None])
 
-    w27 = child_valid.shape[-2] * N_SLOTS
-    cv = child_valid.reshape(*child_valid.shape[:-2], w27)
-    out_idx, out_ok = _select_set_bits(cv, width)
-
-    # parent boards via one-hot matmul (row gathers measured 5-20ms here);
-    # submove params recomputed arithmetically from the slot index.
-    parent = out_idx // N_SLOTS
-    slot = out_idx % N_SLOTS
-    pboards = board_take_onehot(front.boards, parent)
+    # Blocked select over the natural [W, 27] structure: the boundary block
+    # IS the parent frontier entry and the local position the slot index, so
+    # no //27 decode is needed and the boundary one-hot doubles as the
+    # parent-gather selector (row gathers measured 5-20ms here; submove
+    # params recomputed arithmetically from the slot index).
+    parent, slot, out_ok, oh_p = _select_set_bits_blocked(child_valid, width)
+    pboards = board_take_oh(front.boards, oh_p)
     pw2 = player[..., None]
     sg, eg, hg = slot_params(pboards, pw2, die[..., None], slot)
     nboards = apply_submove(pboards, pw2, sg, eg, hg, out_ok)
@@ -272,7 +344,7 @@ def _expand(
     p32 = jnp.broadcast_to(player.astype(jnp.int32)[..., None], slot.shape)
     adj = jnp.where(p32 == 0, sg, NUM_POINTS - 1 - sg)
     nrank = jnp.where(sg == BAR, -1, 2 * adj + (eg == BEAR_OFF))
-    ponly = jnp.take_along_axis(full_cc == 1, parent, axis=-1)
+    ponly = jnp.any(oh_p & (full_cc == 1)[..., None, :], axis=-1)
     return (
         _Frontier(boards=nboards, last_rank=nrank, only=ponly, valid=out_ok),
         shorts,
@@ -311,7 +383,7 @@ def enumerate_doubles(
 
     def compact(ms: MoveSet, use: jax.Array, width: int) -> MoveSet:
         v = ms.valid & use[..., None]
-        idx, ok = _select_set_bits(v, width)
+        idx, ok = _select_set_bits_fast(v, width)
         return MoveSet(
             boards=board_take_onehot(ms.boards, idx), valid=ok, count=_popcount(ok)
         )

@@ -249,3 +249,19 @@ def test_fast_preset_matches_oracle():
     jf = jax.jit(lambda b, p, d: MG2.legal_moves(b, p, d, cfg))
     run_set_diff(jf, 777, 96, doubles_bias=0.4)
     run_order_diff(jf, 778, 96, doubles_bias=0.0)
+
+
+def test_blocked_select_matches_flat():
+    """_select_set_bits_fast / _select_set_bits_blocked == the flat
+    compare-reduce on random masks across every shape used by the engine."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(123)
+    for n, width in [(1512, 384), (448, 448), (2592, 224), (6048, 448), (96, 448)]:
+        for _ in range(3):
+            v = jnp.asarray(rng.random((5, n)) < rng.uniform(0.01, 0.6))
+            i0, o0 = MG2._select_set_bits(v, width)
+            i1, o1 = MG2._select_set_bits_fast(v, width)
+            assert bool(jnp.all(o0 == o1))
+            assert bool(jnp.all(jnp.where(o0, i0, 0) == jnp.where(o1, i1, 0)))
