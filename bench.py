@@ -68,7 +68,8 @@ def production_config() -> Config:
     from mlp_ppo_2ply_multi_tpu.core.config import ModelConfig, MoveGenConfig
 
     return Config(
-        movegen=MoveGenConfig.fast(), model=ModelConfig(dtype="bfloat16")
+        movegen=MoveGenConfig.fast(),
+        model=ModelConfig(dtype="bfloat16", fused_actor_kernel=True),
     )
 
 

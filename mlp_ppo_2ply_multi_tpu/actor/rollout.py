@@ -65,11 +65,21 @@ def select_action(
     """
     side0 = cfg.train.td_mode == "side0"
     cand_flag = (1 - state.player) if side0 else state.player
-    obs = encode_board(state.board, state.player)  # [B, 198]
-    cand = encode_board(moves.boards, cand_flag[..., None])  # [B, A, 198]
-    x = jnp.concatenate([obs[..., None, :], cand], axis=-2)  # [B, A+1, 198]
-    v = value_net.forward(params, x, cfg.model)  # [B, A+1]
-    v_obs, v_moves = v[..., 0], v[..., 1:]
+    if cfg.model.fused_actor_kernel:
+        from mlp_ppo_2ply_multi_tpu.ops.fused_value import fused_value
+
+        # candidates through the VMEM-fused kernel; the single obs row per
+        # game through the standard (tiny) path
+        v_obs = value_net.forward(
+            params, encode_board(state.board, state.player), cfg.model
+        )
+        v_moves = fused_value(moves.boards.data, cand_flag[..., None], params)
+    else:
+        obs = encode_board(state.board, state.player)  # [B, 198]
+        cand = encode_board(moves.boards, cand_flag[..., None])  # [B, A, 198]
+        x = jnp.concatenate([obs[..., None, :], cand], axis=-2)  # [B, A+1, 198]
+        v = value_net.forward(params, x, cfg.model)  # [B, A+1]
+        v_obs, v_moves = v[..., 0], v[..., 1:]
     if side0:
         sgn = jnp.where(state.player == 0, 1.0, -1.0)[..., None]
         v_moves = v_moves * sgn

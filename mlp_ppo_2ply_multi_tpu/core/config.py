@@ -28,6 +28,11 @@ class ModelConfig:
     # Compute dtype for the value-net forward pass. float32 by default for
     # checkpoint-parity; bfloat16 for peak MXU throughput.
     dtype: str = "float32"
+    # Use the fused Pallas board->value kernel (ops/fused_value.py) for the
+    # actor's candidate evaluation: features are built in VMEM instead of a
+    # [B, A, 198] HBM tensor. bfloat16-class numerics (see module docstring);
+    # the learner and f32 parity paths are unaffected.
+    fused_actor_kernel: bool = False
     # When set (inside shard_map over a mesh axis with this name), the hidden
     # layer is tensor-parallel: w1/b1 are column-sharded, w2 row-sharded, and
     # the head matmul's partial sums are reduced with psum over this axis.

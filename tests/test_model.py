@@ -57,3 +57,28 @@ def test_bfloat16_forward_close_to_fp32():
     v32 = np.asarray(value_net.forward(params, x, cfg32))
     v16 = np.asarray(value_net.forward(params, x, cfg16))
     assert np.allclose(v16, v32, atol=0.05)
+
+
+def test_fused_value_kernel_matches_forward():
+    """ops/fused_value (interpret mode on CPU) == the standard
+    encode+forward within bfloat16 rounding, over random cell counts and
+    both side-to-move flags."""
+    import numpy as np
+    from mlp_ppo_2ply_multi_tpu.encoder.features import encode_board
+    from mlp_ppo_2ply_multi_tpu.engine.board import Board
+    from mlp_ppo_2ply_multi_tpu.ops.fused_value import fused_value
+
+    cfg = ModelConfig()
+    params = value_net.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(5)
+    boards = rng.integers(0, 16, size=(500, 52), dtype=np.int8)
+    flags = rng.integers(0, 2, size=(500,)).astype(np.int8)
+    b = Board(data=jnp.asarray(boards))
+    v_ref = value_net.forward(params, encode_board(b, jnp.asarray(flags)), cfg)
+    v_fused = fused_value(b.data, jnp.asarray(flags), params)
+    assert float(jnp.max(jnp.abs(v_ref - v_fused))) < 2e-2
+    # batch-shaped input [B, A, 52] with broadcast flag
+    b2 = Board(data=jnp.asarray(boards).reshape(20, 25, 52))
+    v2 = fused_value(b2.data, jnp.asarray(flags).reshape(20, 25), params)
+    assert v2.shape == (20, 25)
+    np.testing.assert_allclose(np.asarray(v2).ravel(), np.asarray(v_fused), atol=1e-6)
