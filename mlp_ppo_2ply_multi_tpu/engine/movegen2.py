@@ -271,7 +271,18 @@ def enumerate_nondoubles(
 
     # First-occurrence dedup — the reference's shared seen-set
     # (handle_move_types.py:196-221) — by exact pairwise board equality.
-    dup = _dup_earlier_mask(pack_board(after), kok)
+    # A Pallas VMEM-resident variant exists (ops/dup_mask.py) but measured
+    # ~7ms SLOWER per step than this XLA einsum at [4096, 384] (both a
+    # per-game-loop and a fully batched kernel; see PERF.md) — keep it
+    # env-gated for future re-measurement on other toolchains.
+    import os
+
+    if jax.default_backend() == "cpu" or not os.environ.get("MLP_PALLAS_DEDUP"):
+        dup = _dup_earlier_mask(pack_board(after), kok)
+    else:
+        from mlp_ppo_2ply_multi_tpu.ops.dup_mask import dup_earlier_pallas
+
+        dup = dup_earlier_pallas(pack_board(after), kok)
     keep = kok & ~dup
 
     # max-submove filter AFTER dedup (generate_all_moves.py:69-90): if any

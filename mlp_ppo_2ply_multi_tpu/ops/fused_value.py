@@ -20,11 +20,12 @@ so the first layer's pre-activation  feats @ W1  telescopes into
 
     relu(cnt @ REP - K) @ G
 
-where REP int[53, 212] replicates each of the 53 input cells (52 board
-cells + the side-to-move flag) into 4 lanes, K = [0,1,2,3] per cell, and G
-recombines W1 rows (differences of adjacent rows; bar/off/flag cells are
-linear and use only their k=0 lane). The flag cell encodes the turn one-hot:
-w196*(1-f) + w197*f = w196 + f*(w197-w196), the constant folded into b1.
+where REP int[52, 208] replicates each of the 52 board cells into 4 lanes,
+K = [0,1,2,3] per cell, and G recombines W1 rows (differences of adjacent
+rows; bar/off cells are linear and use only their k=0 lane). The
+side-to-move one-hot enters layer 1 linearly (w196*(1-f) + w197*f), so the
+kernel emits BOTH turn variants and the caller selects — cheaper than a
+per-row flag input, whose concatenate cost a measured 0.65ms HBM copy.
 
 Exact for the integer inputs of this domain (counts <= 15, flag in {0,1}):
 all intermediates are integers <= 15 representable in bfloat16, and each
@@ -43,8 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mlp_ppo_2ply_multi_tpu.core.config import ModelConfig
 
-N_CELLS = 53  # 48 point cells + bar x2 + off x2 + side-to-move flag
-N_REP = 4 * N_CELLS  # 212
+N_CELLS = 52  # 48 point cells + bar x2 + off x2 (board.py flat layout)
+N_REP = 4 * N_CELLS  # 208
 _LANES = 256  # output lanes per sublane row
 _SUB = 8  # output sublane rows (TPU f32 tile height)
 _ROWS = _LANES * _SUB  # 2048 board rows per kernel instance
@@ -85,29 +86,35 @@ def recombine_params(params, dtype=jnp.bfloat16):
     g = g.at[4 * 49].set(w1[194] / 2.0)
     g = g.at[4 * 50].set(w1[193] / 15.0)
     g = g.at[4 * 51].set(w1[195] / 15.0)
-    # flag cell: w196*(1-f) + w197*f
-    g = g.at[4 * 52].set(w1[197] - w1[196])
+    # turn one-hot: w196*(1-f) + w197*f = (b1 + w196) + f*(w197 - w196)
     b1p = (params["b1"].astype(jnp.float32) + w1[196])[None, :]
+    tflip = (w1[197] - w1[196])[None, :]
     w2r = params["w2"].astype(jnp.float32).reshape(1, h)
-    return g.astype(dtype), b1p, w2r.astype(dtype), params["b2"].astype(jnp.float32)
+    return g.astype(dtype), b1p, tflip, w2r.astype(dtype), params["b2"].astype(jnp.float32)
 
 
-def _kernel(cells_ref, rep_ref, k_ref, g_ref, b1_ref, w2_ref, out_ref):
-    cnt = cells_ref[...].astype(jnp.bfloat16)  # [ROWS, 53]
-    cr = jnp.dot(cnt, rep_ref[...], preferred_element_type=jnp.float32)  # [ROWS, 212]
+def _kernel(cells_ref, rep_ref, k_ref, g_ref, b1_ref, tflip_ref, w2_ref, o0_ref, o1_ref):
+    cnt = cells_ref[...].astype(jnp.bfloat16)  # [ROWS, 52]
+    cr = jnp.dot(cnt, rep_ref[...], preferred_element_type=jnp.float32)  # [ROWS, 208]
     r = jnp.maximum(cr - k_ref[...], 0.0).astype(jnp.bfloat16)
     z = jnp.dot(r, g_ref[...], preferred_element_type=jnp.float32)  # [ROWS, h]
-    hid = jax.nn.sigmoid(z + b1_ref[...]).astype(jnp.bfloat16)
-    # head as [1,h] x [chunk,h]^T: each chunk writes one lane-major [1, LANES]
-    # sublane row of the (SUB, LANES) output tile
-    for j in range(_SUB):
-        vt = jax.lax.dot_general(
-            w2_ref[...],
-            hid[j * _LANES : (j + 1) * _LANES, :],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [1, LANES]
-        out_ref[j : j + 1, :] = vt
+    # both side-to-move variants: the flag enters the first layer linearly
+    # (w196*(1-f) + w197*f), so evaluating f=0 and f=1 costs one extra
+    # sigmoid+head on the VPU instead of a per-row flag input (whose
+    # concatenate was a measured 0.65ms HBM copy at [4096,448,53])
+    for flip, out_ref in ((0, o0_ref), (1, o1_ref)):
+        zz = z + b1_ref[...] if flip == 0 else z + (b1_ref[...] + tflip_ref[...])
+        hid = jax.nn.sigmoid(zz).astype(jnp.bfloat16)
+        # head as [1,h] x [chunk,h]^T: each chunk writes one lane-major
+        # [1, LANES] sublane row of the (SUB, LANES) output tile
+        for j in range(_SUB):
+            vt = jax.lax.dot_general(
+                w2_ref[...],
+                hid[j * _LANES : (j + 1) * _LANES, :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, LANES]
+            out_ref[j : j + 1, :] = vt
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -118,13 +125,15 @@ def _fused_value_rows(cells: jax.Array, params, interpret: bool) -> jax.Array:
     npad = nt * _ROWS
     if npad != n:
         cells = jnp.pad(cells, ((0, npad - n), (0, 0)))
-    g, b1p, w2r, b2 = recombine_params(params)
+    g, b1p, tflip, w2r, b2 = recombine_params(params)
     rep = jnp.asarray(_rep_matrix(), jnp.bfloat16)
     kvec = jnp.asarray(_k_vector(), jnp.float32)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out_spec = pl.BlockSpec((_SUB, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nt * _SUB, _LANES), jnp.float32)
+    v0, v1 = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((nt * _SUB, _LANES), jnp.float32),
+        out_shape=(out_sds, out_sds),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((_ROWS, N_CELLS), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -132,12 +141,13 @@ def _fused_value_rows(cells: jax.Array, params, interpret: bool) -> jax.Array:
             full((1, N_REP)),
             full((N_REP, g.shape[1])),
             full((1, b1p.shape[1])),
+            full((1, tflip.shape[1])),
             full((1, w2r.shape[1])),
         ],
-        out_specs=pl.BlockSpec((_SUB, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=(out_spec, out_spec),
         interpret=interpret,
-    )(cells, rep, kvec, g, b1p, w2r)
-    return out.reshape(npad)[:n] + b2
+    )(cells, rep, kvec, g, b1p, tflip, w2r)
+    return v0.reshape(npad)[:n] + b2, v1.reshape(npad)[:n] + b2
 
 
 def fused_value(boards_data: jax.Array, flag: jax.Array, params) -> jax.Array:
@@ -146,11 +156,13 @@ def fused_value(boards_data: jax.Array, flag: jax.Array, params) -> jax.Array:
     boards_data int8[..., 52] (engine/board.py flat layout), flag
     int[...] broadcastable side-to-move. Equivalent to
     ``value_net.forward(params, encode_board(boards, flag), cfg)`` with a
-    bfloat16 compute dtype, with features kept in VMEM.
+    bfloat16 compute dtype, with features kept in VMEM. The kernel evaluates
+    both turn variants (the flag enters layer 1 linearly); the select here
+    is an elementwise [...]-shaped where.
     """
     bs = boards_data.shape[:-1]
-    f = jnp.broadcast_to(flag, bs).astype(jnp.int8)[..., None]
-    cells = jnp.concatenate([boards_data, f], axis=-1)
-    rows = cells.reshape(-1, N_CELLS)
+    rows = boards_data.reshape(-1, N_CELLS)
     interpret = jax.default_backend() == "cpu"
-    return _fused_value_rows(rows, params, interpret).reshape(bs)
+    v0, v1 = _fused_value_rows(rows, params, interpret)
+    f = jnp.broadcast_to(flag, bs)
+    return jnp.where(f == 0, v0.reshape(bs), v1.reshape(bs))
