@@ -59,6 +59,16 @@ SMALL_DOUBLE = np.asarray(
 )
 
 
+def _values(params, boards, flag, cfg: Config) -> jax.Array:
+    """Candidate values via the fused Pallas kernel when the actor has it
+    enabled (same numerics class as the 1-ply actor), else encode+forward."""
+    if cfg.model.fused_actor_kernel:
+        from mlp_ppo_2ply_multi_tpu.ops.fused_value import fused_value
+
+        return fused_value(boards.data, flag, params)
+    return value_net.forward(params, encode_board(boards, flag), cfg.model)
+
+
 def reply_movegen_cfg(cfg: Config) -> MoveGenConfig:
     """Reduced-width enumeration for opponent replies; the scorer only needs
     the top-5 values so deep doubles tails beyond reply_a_max are waste."""
@@ -97,8 +107,7 @@ def weighted_opponent_response(
         # the canonical engine's valid mask need not be contiguous
         rank = jnp.cumsum(ms.valid.astype(jnp.int32), axis=-1)
         valid = ms.valid & ((rank <= cap) | ~cap_active)
-        feats = encode_board(ms.boards, opp_k[..., None])  # [..., K, A, 198]
-        v = value_net.forward(params, feats, cfg.model)  # [..., K, A]
+        v = _values(params, ms.boards, opp_k[..., None], cfg)  # [..., K, A]
         v = jnp.where(valid, v, _NEG)
         top, _ = jax.lax.top_k(v, topn)  # [..., K, topn]
         present = top > _NEG / 2
@@ -145,11 +154,10 @@ def select_action_2ply(
     candidates where >= k legal moves exist, 1-ply softmax(V/T) otherwise
     (two_ply.py:153-193). Returns (action, v_obs)."""
     k = cfg.twoply.top_k_candidates
-    obs = encode_board(state.board, state.player)
-    cand = encode_board(moves.boards, state.player[..., None])
-    x = jnp.concatenate([obs[..., None, :], cand], axis=-2)
-    v = value_net.forward(params, x, cfg.model)
-    v_obs, v_moves = v[..., 0], v[..., 1:]
+    v_obs = value_net.forward(
+        params, encode_board(state.board, state.player), cfg.model
+    )
+    v_moves = _values(params, moves.boards, state.player[..., None], cfg)
     v_masked = jnp.where(moves.valid, v_moves, _NEG)
 
     topv, topi = jax.lax.top_k(v_masked, k)  # [B, k]

@@ -18,7 +18,10 @@ from mlp_ppo_2ply_multi_tpu.learner import td
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    cfg = Config(twoply=TwoPlyConfig(enabled=True))
+    from bench import production_config
+
+    # production actor config (fast widths, bf16, fused kernel) + 2-ply on
+    cfg = production_config().replace(twoply=TwoPlyConfig(enabled=True))
     key = jax.random.PRNGKey(0)
     params = td.init_train_state(key, cfg).params
     state = vec_env.reset(jax.random.fold_in(key, 1), batch)
