@@ -56,6 +56,17 @@ def build_config(args) -> Config:
         cfg = dataclasses.replace(
             cfg, movegen=MoveGenConfig(w1=16, w2=32, w3=48, w4=64, a_max=64)
         )
+    if args.production:
+        # fast audit-validated movegen widths + bf16/fused-Pallas actor
+        # forward (bench.py production_config); the LEARNER stays f32 — only
+        # the sampling path changes numerics class
+        from mlp_ppo_2ply_multi_tpu.core.config import ModelConfig
+
+        cfg = dataclasses.replace(
+            cfg,
+            movegen=MoveGenConfig.fast(),
+            model=ModelConfig(dtype="bfloat16", fused_actor_kernel=True),
+        )
     if args.max_timesteps is not None:
         cfg = dataclasses.replace(
             cfg, env=dataclasses.replace(cfg.env, max_timesteps=args.max_timesteps)
@@ -218,6 +229,9 @@ def main(argv=None) -> int:
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--small-movegen", action="store_true",
                     help="reduced enumeration widths (fast compile, CPU smoke)")
+    ap.add_argument("--production", action="store_true",
+                    help="fast movegen widths + bf16 fused actor forward "
+                         "(peak throughput; learner stays f32)")
     ap.add_argument("--max-timesteps", type=int, default=None,
                     help="override episode step cap (default 300, Q9)")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),

@@ -125,7 +125,11 @@ def episode_loss_and_metrics(
     params, obs, reward, recorded, boundary, cfg: Config, player=None
 ):
     """Masked per-episode-mean MSE (trainer.py:104-118) over [T, ...] data."""
-    v = value_net.forward(params, obs, cfg.model)  # [T, ...]
+    import dataclasses as _dc
+
+    # the learner always computes in f32 — a bf16 cfg.model.dtype only
+    # changes the actor's sampling path, never the gradients
+    v = value_net.forward(params, obs, _dc.replace(cfg.model, dtype="float32"))
     targets = jax.lax.stop_gradient(
         _episode_targets(
             v, reward, recorded, boundary, cfg.train.gamma,
