@@ -98,13 +98,13 @@ class MoveGenConfig:
     def fast(cls) -> "MoveGenConfig":
         """Reduced widths for production throughput, sized ~2x above the
         maxima observed over randomized play audits (scripts/audit_widths.py:
-        pre-dedup non-doubles max 175 of 384; doubles levels max
+        pre-dedup non-doubles max 175, cap 288 = 1.6x; doubles levels max
         [9, 42, 139, 373] of [16, 96, 224, 448]). Positions beyond these
         widths lose their highest-rank candidates — the same truncation
         class as the reference's own 500-move cap (Q7). a_max == w4: the
         level-4 doubles frontier (the widest source) has only w4 slots, so a
         larger presented-action axis can never fill and is pure padding."""
-        return cls(w1=16, w2=96, w3=224, w4=448, a_max=448, nd_dedup_k=384)
+        return cls(w1=16, w2=96, w3=224, w4=448, a_max=448, nd_dedup_k=288)
 
 
 @dataclasses.dataclass(frozen=True)

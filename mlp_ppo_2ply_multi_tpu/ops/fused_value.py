@@ -46,9 +46,7 @@ from mlp_ppo_2ply_multi_tpu.core.config import ModelConfig
 
 N_CELLS = 52  # 48 point cells + bar x2 + off x2 (board.py flat layout)
 N_REP = 4 * N_CELLS  # 208
-_LANES = 256  # output lanes per sublane row
-_SUB = 8  # output sublane rows (TPU f32 tile height)
-_ROWS = _LANES * _SUB  # 2048 board rows per kernel instance
+_ROWS = 2048  # board rows per kernel instance (= output lanes per block)
 
 
 def _rep_matrix() -> np.ndarray:
@@ -105,16 +103,13 @@ def _kernel(cells_ref, rep_ref, k_ref, g_ref, b1_ref, tflip_ref, w2_ref, o0_ref,
     for flip, out_ref in ((0, o0_ref), (1, o1_ref)):
         zz = z + b1_ref[...] if flip == 0 else z + (b1_ref[...] + tflip_ref[...])
         hid = jax.nn.sigmoid(zz).astype(jnp.bfloat16)
-        # head as [1,h] x [chunk,h]^T: each chunk writes one lane-major
-        # [1, LANES] sublane row of the (SUB, LANES) output tile
-        for j in range(_SUB):
-            vt = jax.lax.dot_general(
-                w2_ref[...],
-                hid[j * _LANES : (j + 1) * _LANES, :],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [1, LANES]
-            out_ref[j : j + 1, :] = vt
+        # head as one wide [1,h] x [ROWS,h]^T dot; the [1, ROWS] lane-major
+        # result maps straight onto the (1, 1, ROWS) output block
+        vt = jax.lax.dot_general(
+            w2_ref[...], hid, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, ROWS]
+        out_ref[...] = vt[None]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -129,8 +124,12 @@ def _fused_value_rows(cells: jax.Array, params, interpret: bool) -> jax.Array:
     rep = jnp.asarray(_rep_matrix(), jnp.bfloat16)
     kvec = jnp.asarray(_k_vector(), jnp.float32)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((_SUB, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_sds = jax.ShapeDtypeStruct((nt * _SUB, _LANES), jnp.float32)
+    # out [nt, 1, ROWS]: the (1, 1, ROWS) block's last two dims equal the
+    # array's (Mosaic's divisible-by-(8,128)-or-equal rule), and each
+    # instance's [1, ROWS] head result lands without any lane<->sublane
+    # relayout; row-major reshape outside restores [N]
+    out_spec = pl.BlockSpec((1, 1, _ROWS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nt, 1, _ROWS), jnp.float32)
     v0, v1 = pl.pallas_call(
         _kernel,
         out_shape=(out_sds, out_sds),
