@@ -32,6 +32,13 @@ _PROBS = [(1 if a == b else 2) / 36.0 for a, b in _ROLLS]
 
 
 def load_params(path: Optional[str]):
+    """Params as HOST numpy arrays — the play CLI is pure-numpy, and leaving
+    jax arrays in the pytree would refetch them from the (tunnel-slow) device
+    on every forward_np call."""
+    return {k: np.asarray(v) for k, v in _load_params_raw(path).items()}
+
+
+def _load_params_raw(path: Optional[str]):
     if path is None:
         import jax
 
@@ -118,6 +125,11 @@ def main(argv=None) -> int:
     ap.add_argument("--human-player", type=int, default=0, choices=(0, 1))
     ap.add_argument("--show-values", action="store_true")
     ap.add_argument("--two-ply", action="store_true")
+    ap.add_argument("--select-agent-moves", action="store_true",
+                    help="debug mode: on the agent's turn, show its "
+                         "value-annotated move list and pick its move by hand "
+                         "(reference play_versus_ai.py:65-123, "
+                         "play_game_human_select_agent_moves)")
     ap.add_argument("--seed", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -136,6 +148,12 @@ def main(argv=None) -> int:
             env.step(None)
         elif env.player == args.human_player:
             a = human_action(params, env, args.show_values)
+            env.step(a)
+        elif args.select_agent_moves:
+            best = agent_action(params, env, args.two_ply)
+            print(f"agent's argmax would be [{best}] "
+                  f"{describe_move(env.legal[best][0])}; pick its move:")
+            a = human_action(params, env, show_values=True)
             env.step(a)
         else:
             a = agent_action(params, env, args.two_ply)

@@ -232,6 +232,10 @@ def main(argv=None) -> int:
     ap.add_argument("--production", action="store_true",
                     help="fast movegen widths + bf16 fused actor forward "
                          "(peak throughput; learner stays f32)")
+    ap.add_argument("--remote-dir", default=None,
+                    help="fsspec URI (gs://..., memory://...) mirrored with "
+                         "metrics and checkpoints — the reference's S3 "
+                         "streaming (logger.py, parameter_manager.py) analog")
     ap.add_argument("--max-timesteps", type=int, default=None,
                     help="override episode step cap (default 300, Q9)")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
@@ -243,7 +247,11 @@ def main(argv=None) -> int:
         args.data = max(1, len(jax.devices()) // args.model)
 
     cfg = build_config(args)
-    writer = MetricsWriter(cfg.train.metrics_dir)
+    remote = args.remote_dir
+    writer = MetricsWriter(
+        cfg.train.metrics_dir,
+        remote_uri=(remote.rstrip("/") + "/runs") if remote else None,
+    )
     t0 = time.time()
     if args.mode == "sync":
         state, key = train_sync(cfg, args, writer)
@@ -252,6 +260,10 @@ def main(argv=None) -> int:
     state = jax.device_get(state)
     ckpt.save(cfg.train.checkpoint_dir, state, key)
     writer.close()
+    if remote:
+        from mlp_ppo_2ply_multi_tpu.io.remote import sync_dir
+
+        sync_dir(cfg.train.checkpoint_dir, remote.rstrip("/") + "/checkpoints")
     print(
         f"done: {int(state.episode_count)} episodes, "
         f"{int(state.version)} updates in {time.time() - t0:.1f}s"

@@ -21,7 +21,12 @@ import numpy as np
 
 
 class MetricsWriter:
-    def __init__(self, logdir: str, run_name: Optional[str] = None):
+    def __init__(
+        self,
+        logdir: str,
+        run_name: Optional[str] = None,
+        remote_uri: Optional[str] = None,
+    ):
         ts = time.strftime("%Y%m%d-%H%M%S")
         self.run_dir = os.path.join(logdir, run_name or f"bg_td_{ts}")
         os.makedirs(self.run_dir, exist_ok=True)
@@ -34,6 +39,13 @@ class MetricsWriter:
         except Exception:
             pass
         self._t0 = time.time()
+        # fsspec mirror of the run dir (reference's S3-streaming logger,
+        # logger.py:9-56); rate-limited, error-swallowing
+        self._mirror = None
+        if remote_uri:
+            from mlp_ppo_2ply_multi_tpu.io.remote import RemoteMirror
+
+            self._mirror = RemoteMirror(self.run_dir, remote_uri)
 
     def scalars(self, step: int, values: Dict[str, float]) -> None:
         rec = {"step": int(step), "t": round(time.time() - self._t0, 3)}
@@ -43,6 +55,8 @@ class MetricsWriter:
         if self._tb is not None:
             for k, v in values.items():
                 self._tb.add_scalar(k, float(v), step)
+        if self._mirror is not None:
+            self._mirror.maybe_sync()
 
     def histogram(self, step: int, name: str, values) -> None:
         arr = np.asarray(values).ravel()
@@ -77,6 +91,8 @@ class MetricsWriter:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._mirror is not None:
+            self._mirror.close()
 
 
 class Throughput:

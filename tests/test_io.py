@@ -69,3 +69,42 @@ def test_throughput_counter():
     r = t.rates()
     assert r["eps_per_sec"] > 0
     assert abs(r["env_steps_per_sec"] / r["eps_per_sec"] - 300.0) < 1e-6
+
+
+def test_remote_mirror_memory_fs(tmp_path):
+    """fsspec mirroring (the reference's S3 streaming analog) against the
+    in-memory filesystem: files upload, re-sync skips unchanged, failures
+    are swallowed."""
+    import fsspec
+
+    from mlp_ppo_2ply_multi_tpu.io import remote
+
+    local = tmp_path / "run"
+    local.mkdir()
+    (local / "metrics.jsonl").write_text('{"step": 1}\n')
+    (local / "sub").mkdir()
+    (local / "sub" / "events.bin").write_bytes(b"\x00\x01")
+
+    uri = "memory://mirror_test/run"
+    assert remote.sync_dir(str(local), uri)
+    fs = fsspec.filesystem("memory")
+    assert fs.cat("/mirror_test/run/metrics.jsonl") == b'{"step": 1}\n'
+    assert fs.cat("/mirror_test/run/sub/events.bin") == b"\x00\x01"
+    # unchanged file is skipped; changed file re-uploads
+    (local / "metrics.jsonl").write_text('{"step": 1}\n{"step": 2}\n')
+    assert remote.sync_dir(str(local), uri)
+    assert b'"step": 2' in fs.cat("/mirror_test/run/metrics.jsonl")
+    # bogus protocol: swallowed, returns False
+    assert not remote.sync_dir(str(local), "no-such-proto://x/y")
+
+
+def test_metrics_writer_remote(tmp_path):
+    import fsspec
+
+    w = metrics.MetricsWriter(
+        str(tmp_path), run_name="r", remote_uri="memory://mirror_test2"
+    )
+    w.scalars(1, {"loss": 0.5})
+    w.close()
+    fs = fsspec.filesystem("memory")
+    assert b'"loss": 0.5' in fs.cat("/mirror_test2/metrics.jsonl")
