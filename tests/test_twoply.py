@@ -82,3 +82,19 @@ def test_rollout_with_twoply_enabled_runs():
     )
     assert np.asarray(traj.recorded).shape == (3, 4)
     assert np.isfinite(np.asarray(traj.value)).all()
+
+
+def test_topk_small_matches_lax_topk():
+    import numpy as np
+    from mlp_ppo_2ply_multi_tpu.twoply.expectimax import topk_small
+
+    rng = np.random.default_rng(11)
+    for shape, k in [((7, 33), 4), ((3, 5, 20), 5), ((2, 6), 6)]:
+        v = rng.normal(size=shape).astype(np.float32)
+        # inject duplicates and -1e9 masks
+        v.reshape(-1)[:: 7] = 0.5
+        v.reshape(-1)[1:: 13] = -1e9
+        got_v, got_i = topk_small(jnp.asarray(v), k)
+        exp_v, exp_i = jax.lax.top_k(jnp.asarray(v), k)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(exp_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(exp_i))
