@@ -175,6 +175,11 @@ class TwoPlyConfig:
     small_double_cap: int = 50
     # Afterstate cap for opponent-reply enumeration inside the scorer.
     reply_a_max: int = 128
+    # Rolls evaluated per scan iteration (folded into the batch axis).
+    # Measured on v5e at B=1024: chunk 3 is ~7% SLOWER than 1 (the per-roll
+    # program already fills the chip at rerank batch >= ~4k rows); raise it
+    # only for small-batch interactive use.
+    roll_chunk: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -125,40 +125,69 @@ def weighted_opponent_response(
     topn = cfg.twoply.top_n_responses
     cap = cfg.twoply.small_double_cap
 
-    def score_moveset(ms, prob, cap_active):
-        # "first cap moves in enumeration order" — by VALID-entry rank, since
-        # the canonical engine's valid mask need not be contiguous
+    def score_moveset(ms, probs_c, cap_active):
+        """Scores for a [C, ..., K] roll-chunked move set; probs_c float[C],
+        cap_active bool[C]. Returns the probability-weighted chunk sum.
+
+        "first cap moves in enumeration order" — by VALID-entry rank, since
+        the canonical engine's valid mask need not be contiguous."""
+        lead = (slice(None),) + (None,) * (ms.valid.ndim - 1)
         rank = jnp.cumsum(ms.valid.astype(jnp.int32), axis=-1)
-        valid = ms.valid & ((rank <= cap) | ~cap_active)
-        v = _values(params, ms.boards, opp_k[..., None], cfg)  # [..., K, A]
+        valid = ms.valid & ((rank <= cap) | ~cap_active[lead])
+        v = _values(params, ms.boards, opp_k[..., None], cfg)  # [C, ..., K, A]
         v = jnp.where(valid, v, _NEG)
-        top, _ = topk_small(v, topn)  # [..., K, topn]
+        top, _ = topk_small(v, topn)  # [C, ..., K, topn]
         present = top > _NEG / 2
         n = jnp.maximum(jnp.sum(present.astype(jnp.float32), axis=-1), 1.0)
         avg = jnp.sum(jnp.where(present, top, 0.0), axis=-1) / n
         has_reply = jnp.any(valid, axis=-1)
-        return jnp.where(has_reply, avg * prob, 0.0)
+        return jnp.sum(
+            jnp.where(has_reply, avg * probs_c[lead[:-1]], 0.0), axis=0
+        )
 
     nd_mask = ROLLS[:, 0] != ROLLS[:, 1]
-    nd_rolls = jnp.asarray(ROLLS[nd_mask])
-    nd_probs = jnp.asarray(PROBS[nd_mask])
-    dd_dies = jnp.asarray(ROLLS[~nd_mask][:, 0])
-    dd_probs = jnp.asarray(PROBS[~nd_mask])
-    dd_small = jnp.asarray(SMALL_DOUBLE[~nd_mask])
-
     batch_shape = boards.batch_shape
+    c = max(1, cfg.twoply.roll_chunk)
+    bc = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (c, *a.shape)), boards
+    )
+
+    def chunks(*arrs):
+        """Stack roll-constant arrays into scan chunks of C; the last chunk
+        is padded with repeats of its final roll whose probability (always
+        the second array) is zeroed."""
+        n = len(arrs[0])
+        pad = (-n) % c
+        out = []
+        for i, a in enumerate(arrs):
+            a = np.asarray(a)
+            a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+            if i == 1 and pad:
+                a[-pad:] = 0.0
+            out.append(jnp.asarray(a.reshape(-1, c, *a.shape[1:])))
+        return out
+
+    nd_rolls, nd_probs = chunks(ROLLS[nd_mask], PROBS[nd_mask])
+    dd_dies, dd_probs, dd_small = chunks(
+        ROLLS[~nd_mask][:, 0], PROBS[~nd_mask], SMALL_DOUBLE[~nd_mask]
+    )
+
     init = jnp.zeros(batch_shape, jnp.float32)
 
     def per_nd(total, xs):
-        roll, prob = xs
-        dice = jnp.broadcast_to(roll, (*batch_shape, 2))
-        ms = movegen2.enumerate_nondoubles_batched(boards, opp_k, dice, mg)
-        return total + score_moveset(ms, prob, jnp.bool_(False)), None
+        rolls_c, probs_c = xs  # [C, 2], [C]
+        dice = jnp.broadcast_to(
+            rolls_c[:, None, None, :], (c, *batch_shape, 2)
+        )
+        ms = movegen2.enumerate_nondoubles_batched(bc, opp_k[None], dice, mg)
+        no_cap = jnp.zeros((c,), bool)
+        return total + score_moveset(ms, probs_c, no_cap), None
 
     def per_dd(total, xs):
-        die, prob, is_small = xs
-        ms = movegen2.enumerate_doubles_batched(boards, opp_k, die, mg)
-        return total + score_moveset(ms, prob, is_small), None
+        dies_c, probs_c, small_c = xs
+        die = jnp.broadcast_to(dies_c[:, None, None], (c, *batch_shape))
+        ms = movegen2.enumerate_doubles_batched(bc, opp_k[None], die, mg)
+        return total + score_moveset(ms, probs_c, small_c), None
 
     total, _ = jax.lax.scan(per_nd, init, (nd_rolls, nd_probs))
     total, _ = jax.lax.scan(per_dd, total, (dd_dies, dd_probs, dd_small))
