@@ -30,14 +30,9 @@ def _candidate_values(params, state, moves, cfg: Config) -> jax.Array:
     """Afterstate values oriented so HIGHER is better for the mover, under
     the configured td_mode (side0: truthful opponent-on-roll flag, side 1
     minimizes the side-0 value)."""
-    if cfg.train.td_mode == "side0":
-        flag = (1 - state.player)[..., None]
-        v = value_net.forward(params, encode_board(moves.boards, flag), cfg.model)
-        return v * jnp.where(state.player == 0, 1.0, -1.0)[..., None]
-    v = value_net.forward(
-        params, encode_board(moves.boards, state.player[..., None]), cfg.model
-    )
-    return v
+    from mlp_ppo_2ply_multi_tpu.twoply.expectimax import oriented_values
+
+    return oriented_values(params, moves.boards, state.player[..., None], cfg)
 
 
 def greedy_policy(cfg: Config) -> Policy:
@@ -69,11 +64,9 @@ def twoply_greedy_policy(cfg: Config) -> Policy:
     k = cfg.twoply.top_k_candidates
 
     def act(params, state, moves, key):
-        v = value_net.forward(
-            params, encode_board(moves.boards, state.player[..., None]), cfg.model
-        )
+        v = _candidate_values(params, state, moves, cfg)
         v_masked = jnp.where(moves.valid, v, _NEG)
-        topv, topi = jax.lax.top_k(v_masked, k)
+        topv, topi = expectimax.topk_small(v_masked, k)
         top_valid = jnp.take_along_axis(moves.valid, topi, axis=-1)
         w_o = expectimax.weighted_opponent_response(
             params, board_take(moves.boards, topi), 1 - state.player, cfg

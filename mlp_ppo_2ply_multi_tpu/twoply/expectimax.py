@@ -89,6 +89,19 @@ def _values(params, boards, flag, cfg: Config) -> jax.Array:
     return value_net.forward(params, encode_board(boards, flag), cfg.model)
 
 
+def oriented_values(params, boards, mover, cfg: Config) -> jax.Array:
+    """Afterstate values oriented so HIGHER is better for ``mover`` under the
+    configured td_mode. Reference mode: V with the mover's (non-truthful)
+    side flag, both players maximize (Q3). side0 mode: V estimates side-0's
+    outcome with the truthful opponent-on-roll flag; side 1 minimizes, so
+    its values are negated. ``mover`` must broadcast against the boards'
+    batch shape."""
+    if cfg.train.td_mode == "side0":
+        v = _values(params, boards, 1 - mover, cfg)
+        return v * jnp.where(mover == 0, 1.0, -1.0)
+    return _values(params, boards, mover, cfg)
+
+
 def reply_movegen_cfg(cfg: Config) -> MoveGenConfig:
     """Reduced-width enumeration for opponent replies; the scorer only needs
     the top-5 values so deep doubles tails beyond reply_a_max are waste."""
@@ -134,7 +147,10 @@ def weighted_opponent_response(
         lead = (slice(None),) + (None,) * (ms.valid.ndim - 1)
         rank = jnp.cumsum(ms.valid.astype(jnp.int32), axis=-1)
         valid = ms.valid & ((rank <= cap) | ~cap_active[lead])
-        v = _values(params, ms.boards, opp_k[..., None], cfg)  # [C, ..., K, A]
+        # reply values oriented for the OPPONENT (the reply's mover): in
+        # side0 mode this is -sgn(p) * V(reply, p-on-roll) — without the
+        # orientation the scorer maximizes the wrong side for player 1
+        v = oriented_values(params, ms.boards, opp_k[..., None], cfg)  # [C, ..., K, A]
         v = jnp.where(valid, v, _NEG)
         top, _ = topk_small(v, topn)  # [C, ..., K, topn]
         present = top > _NEG / 2
@@ -209,7 +225,7 @@ def select_action_2ply(
     v_obs = value_net.forward(
         params, encode_board(state.board, state.player), cfg.model
     )
-    v_moves = _values(params, moves.boards, state.player[..., None], cfg)
+    v_moves = oriented_values(params, moves.boards, state.player[..., None], cfg)
     v_masked = jnp.where(moves.valid, v_moves, _NEG)
 
     topv, topi = topk_small(v_masked, k)  # [B, k]

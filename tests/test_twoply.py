@@ -98,3 +98,34 @@ def test_topk_small_matches_lax_topk():
         exp_v, exp_i = jax.lax.top_k(jnp.asarray(v), k)
         np.testing.assert_allclose(np.asarray(got_v), np.asarray(exp_v))
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(exp_i))
+
+
+def test_oriented_values_side0_sign():
+    """side0: side 1's oriented value is the NEGATED side-0 estimate with the
+    truthful (side-0-on-roll) flag; side 0's is the raw estimate with side 1
+    on roll. Reference mode: mover's flag, no negation."""
+    import numpy as np
+    import dataclasses
+    from mlp_ppo_2ply_multi_tpu.core.config import Config
+    from mlp_ppo_2ply_multi_tpu.encoder.features import encode_board
+    from mlp_ppo_2ply_multi_tpu.engine.board import Board
+    from mlp_ppo_2ply_multi_tpu.model import value_net
+    from mlp_ppo_2ply_multi_tpu.twoply.expectimax import oriented_values
+
+    cfg0 = Config()
+    cfg_s0 = dataclasses.replace(
+        cfg0, train=dataclasses.replace(cfg0.train, td_mode="side0")
+    )
+    params = value_net.init_params(jax.random.PRNGKey(0), cfg0.model)
+    rng = np.random.default_rng(2)
+    b = Board(data=jnp.asarray(rng.integers(0, 5, size=(6, 52), dtype=np.int8)))
+    for mover in (0, 1):
+        mv = jnp.full((6,), mover)
+        got = oriented_values(params, b, mv, cfg_s0)
+        raw = value_net.forward(params, encode_board(b, 1 - mv), cfg0.model)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(raw) * (1.0 if mover == 0 else -1.0),
+            rtol=1e-6)
+        got_ref = oriented_values(params, b, mv, cfg0)
+        raw_ref = value_net.forward(params, encode_board(b, mv), cfg0.model)
+        np.testing.assert_allclose(np.asarray(got_ref), np.asarray(raw_ref), rtol=1e-6)
