@@ -46,7 +46,7 @@ from mlp_ppo_2ply_multi_tpu.core.config import ModelConfig
 
 N_CELLS = 52  # 48 point cells + bar x2 + off x2 (board.py flat layout)
 N_REP = 4 * N_CELLS  # 208
-_ROWS = 2048  # board rows per kernel instance (= output lanes per block)
+_ROWS = 4096  # board rows per kernel instance (= output lanes per block)
 
 
 def _rep_matrix() -> np.ndarray:
