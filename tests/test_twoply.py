@@ -129,3 +129,35 @@ def test_oriented_values_side0_sign():
         got_ref = oriented_values(params, b, mv, cfg0)
         raw_ref = value_net.forward(params, encode_board(b, mv), cfg0.model)
         np.testing.assert_allclose(np.asarray(got_ref), np.asarray(raw_ref), rtol=1e-6)
+
+
+def test_roll_chunked_scorer_matches_unchunked():
+    """weighted_opponent_response with roll_chunk=3 must equal roll_chunk=1
+    (the padded tail's probability is zeroed)."""
+    import dataclasses
+    import numpy as np
+    from mlp_ppo_2ply_multi_tpu.core.config import Config, MoveGenConfig, TwoPlyConfig
+    from mlp_ppo_2ply_multi_tpu.engine.board import Board
+    from mlp_ppo_2ply_multi_tpu.env import vec_env
+    from mlp_ppo_2ply_multi_tpu.model import value_net
+    from mlp_ppo_2ply_multi_tpu.twoply import expectimax
+
+    base = Config(
+        movegen=MoveGenConfig(w1=16, w2=32, w3=48, w4=64, a_max=64),
+        twoply=TwoPlyConfig(enabled=True, reply_a_max=64),
+    )
+    params = value_net.init_params(jax.random.PRNGKey(0), base.model)
+    state = vec_env.reset(jax.random.PRNGKey(1), 6)
+    boards = Board(data=state.board.data[:, None, :])  # [6, 1] candidates
+    opp = 1 - state.player
+    outs = []
+    for c in (1, 3):
+        cfg = dataclasses.replace(
+            base, twoply=dataclasses.replace(base.twoply, roll_chunk=c)
+        )
+        outs.append(
+            np.asarray(
+                expectimax.weighted_opponent_response(params, boards, opp, cfg)
+            )
+        )
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
