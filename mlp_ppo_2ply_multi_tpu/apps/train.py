@@ -28,7 +28,6 @@ import jax
 # which jax_platforms can no longer change — honor the env override first.
 if os.environ.get("MLP_TPU_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MLP_TPU_PLATFORM"])
-import jax.numpy as jnp
 import numpy as np
 
 from mlp_ppo_2ply_multi_tpu.core.config import Config, MoveGenConfig, TrainConfig

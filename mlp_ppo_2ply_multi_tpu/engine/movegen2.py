@@ -64,7 +64,6 @@ from mlp_ppo_2ply_multi_tpu.engine.movegen import (
     N_SLOTS,
     SlotTable,
     board_expand,
-    board_take,
     board_take_oh,
     board_take_onehot,
     board_where,

@@ -42,7 +42,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mlp_ppo_2ply_multi_tpu.core.config import ModelConfig
 
 N_CELLS = 52  # 48 point cells + bar x2 + off x2 (board.py flat layout)
 N_REP = 4 * N_CELLS  # 208

@@ -30,7 +30,7 @@ import numpy as np
 
 from mlp_ppo_2ply_multi_tpu.core.config import Config, MoveGenConfig
 from mlp_ppo_2ply_multi_tpu.encoder.features import encode_board
-from mlp_ppo_2ply_multi_tpu.engine.movegen import MoveSet, board_take, legal_moves
+from mlp_ppo_2ply_multi_tpu.engine.movegen import MoveSet, board_take
 from mlp_ppo_2ply_multi_tpu.env import vec_env
 from mlp_ppo_2ply_multi_tpu.model import value_net
 

@@ -11,7 +11,7 @@ consumed whole); it exists for capability parity and experimentation.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
