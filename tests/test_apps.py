@@ -87,3 +87,49 @@ def test_evaluate_cli_smoke(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["games"] == 16
+
+
+def test_train_cli_remote_mirror(tmp_path):
+    """--remote-dir mirrors the metrics run and checkpoints to an fsspec URI
+    (memory:// here; the reference's S3 streaming analog)."""
+    import fsspec
+
+    rc = train.main(
+        [
+            "--mode", "continuous",
+            "--batch-games", "8",
+            "--updates", "1",
+            "--steps-per-update", "4",
+            "--data", "1",
+            "--small-movegen",
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--metrics-dir", str(tmp_path / "runs"),
+            "--remote-dir", "memory://train_mirror",
+        ]
+    )
+    assert rc == 0
+    fs = fsspec.filesystem("memory")
+    files = fs.find("/train_mirror")
+    assert any("metrics.jsonl" in f for f in files), files
+    assert any("/checkpoints/" in f for f in files), files
+
+
+def test_build_config_production_flag():
+    """--production selects the fast widths + bf16 fused actor config and
+    leaves the default parity config untouched otherwise."""
+    from mlp_ppo_2ply_multi_tpu.core.config import MoveGenConfig
+
+    import argparse
+
+    ns = argparse.Namespace(
+        batch_games=8, per_episode_updates=False, td_mode="reference",
+        mode="continuous", seed=0, checkpoint_every=50_000,
+        checkpoint_dir="c", metrics_dir="m", small_movegen=False,
+        production=True, max_timesteps=None,
+    )
+    cfg = train.build_config(ns)
+    assert cfg.model.dtype == "bfloat16" and cfg.model.fused_actor_kernel
+    assert cfg.movegen.a_max == MoveGenConfig.fast().a_max
+    ns.production = False
+    cfg2 = train.build_config(ns)
+    assert cfg2.model.dtype == "float32" and not cfg2.model.fused_actor_kernel
