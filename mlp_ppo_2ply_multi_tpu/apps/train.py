@@ -142,10 +142,12 @@ def train_continuous_single(cfg: Config, args, writer: MetricsWriter):
         metrics = jax.device_get(metrics)
         eps = int(np.sum(np.asarray(jax.device_get(traj.boundary))))
         tput.add(episodes=eps, env_steps=cfg.train.batch_games * args.steps_per_update)
+        from mlp_ppo_2ply_multi_tpu.utils.profiling import device_memory_stats
+
         writer.scalars(
             int(state.episode_count),
             {**{k: float(np.mean(v)) for k, v in metrics.items()}, **tput.rates(),
-             "temperature": float(temp)},
+             "temperature": float(temp), **device_memory_stats()},
         )
         if int(state.episode_count) - last_saved >= cfg.train.checkpoint_every_episodes:
             ckpt.save(cfg.train.checkpoint_dir, state, key)

@@ -85,3 +85,24 @@ def device_op_times(fn: Callable, *args, trace_dir: str = "/tmp/jaxtrace_prof"):
             if not nm.startswith("jit_"):
                 agg[nm] += e["dur"] / 1000.0
     return dict(sorted(agg.items(), key=lambda kv: -kv[1]))
+
+
+def device_memory_stats(device=None) -> Dict[str, float]:
+    """HBM usage for one device in MB — the TPU analog of the reference's
+    NVML utilization/memory prints around each update
+    (/root/reference/src/agents/trainer.py:54-62,170-184). Returns {} when
+    the backend exposes no stats (e.g. CPU)."""
+    try:
+        d = device or jax.local_devices()[0]
+        stats = d.memory_stats() or {}
+        mb = 1.0 / (1024 * 1024)
+        out = {}
+        if "bytes_in_use" in stats:
+            out["hbm_used_mb"] = stats["bytes_in_use"] * mb
+        if "bytes_limit" in stats:
+            out["hbm_limit_mb"] = stats["bytes_limit"] * mb
+        if "peak_bytes_in_use" in stats:
+            out["hbm_peak_mb"] = stats["peak_bytes_in_use"] * mb
+        return out
+    except Exception:
+        return {}

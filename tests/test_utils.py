@@ -52,3 +52,12 @@ def test_rollout_loop_matches_scan():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_memory_stats_never_raises():
+    from mlp_ppo_2ply_multi_tpu.utils.profiling import device_memory_stats
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
+    for v in stats.values():
+        assert v >= 0.0
