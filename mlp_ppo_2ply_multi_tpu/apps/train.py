@@ -39,6 +39,25 @@ from mlp_ppo_2ply_multi_tpu.learner import td
 from mlp_ppo_2ply_multi_tpu.parallel import sharding
 
 
+_STOP = False
+
+
+def _request_stop(signum, frame):
+    """SIGTERM/SIGINT: finish the current update, then save and exit — the
+    checkpoint-restart fault-tolerance model (SURVEY.md §5.3; the reference
+    terminates workers without saving, main.py:156-157)."""
+    global _STOP
+    _STOP = True
+    print(f"signal {signum}: will checkpoint and exit after this update", flush=True)
+
+
+def install_signal_handlers() -> None:
+    import signal
+
+    signal.signal(signal.SIGTERM, _request_stop)
+    signal.signal(signal.SIGINT, _request_stop)
+
+
 def build_config(args) -> Config:
     train = TrainConfig(
         batch_games=args.batch_games,
@@ -86,6 +105,8 @@ def train_sync(cfg: Config, args, writer: MetricsWriter) -> td.TrainState:
     last_saved = int(state.episode_count)
     B, T = cfg.train.batch_games, cfg.env.max_timesteps
     for u in range(args.updates):
+        if _STOP:
+            break
         key, k_reset, k_roll = jax.random.split(key, 3)
         env_state = vec_env.reset(k_reset, B)
         temp = td.temperature(state.version, cfg)
@@ -132,6 +153,8 @@ def train_continuous_single(cfg: Config, args, writer: MetricsWriter):
     tput = Throughput()
     last_saved = int(state.episode_count)
     for u in range(args.updates):
+        if _STOP:
+            break
         key, k_roll = jax.random.split(key)
         temp = td.temperature(state.version, cfg)
         env_state, traj = actor.rollout_loop(
@@ -183,6 +206,8 @@ def train_continuous(cfg: Config, args, writer: MetricsWriter) -> td.TrainState:
     tput = Throughput()
     last_saved = int(jax.device_get(state.episode_count))
     for u in range(args.updates):
+        if _STOP:
+            break
         key, sub = jax.random.split(key)
         state, env_state, metrics = step_fn(state, env_state, sub)
         metrics = jax.device_get(metrics)
@@ -242,6 +267,7 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                     help="force a JAX backend (must be set before first use)")
     args = ap.parse_args(argv)
+    install_signal_handlers()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.data is None:

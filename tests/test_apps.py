@@ -133,3 +133,34 @@ def test_build_config_production_flag():
     ns.production = False
     cfg2 = train.build_config(ns)
     assert cfg2.model.dtype == "float32" and not cfg2.model.fused_actor_kernel
+
+
+def test_train_cli_sigterm_checkpoints(tmp_path):
+    """A stop request mid-run still produces a final checkpoint (the
+    checkpoint-restart fault-tolerance contract, SURVEY.md §5.3)."""
+    from mlp_ppo_2ply_multi_tpu.apps import train as train_mod
+
+    train_mod._STOP = False
+    orig = train_mod.train_continuous_single
+
+    def stop_after_first(cfg, args, writer):
+        train_mod._request_stop(15, None)
+        return orig(cfg, args, writer)
+
+    train_mod.train_continuous_single = stop_after_first
+    try:
+        rc = train_mod.main(
+            [
+                "--mode", "continuous", "--batch-games", "8", "--updates", "5",
+                "--steps-per-update", "4", "--data", "1", "--small-movegen",
+                "--checkpoint-dir", str(tmp_path / "ck"),
+                "--metrics-dir", str(tmp_path / "runs"),
+            ]
+        )
+    finally:
+        train_mod.train_continuous_single = orig
+        train_mod._STOP = False
+    assert rc == 0
+    import os
+
+    assert os.path.isdir(str(tmp_path / "ck"))
