@@ -44,6 +44,9 @@ class Transition(NamedTuple):
     close_out: jax.Array  # bool[B]
     prime: jax.Array  # bool[B]
     num_moves: jax.Array  # int32[B] legal move count (diagnostics)
+    # bool[B] movegen dropped candidates to a width cap this step (silent-
+    # truncation observability, SURVEY §5.3); None from engines without it
+    overflow: jax.Array = None
 
 
 def select_action(
@@ -124,6 +127,11 @@ def rollout_step(
         close_out=res.close_out_bonus,
         prime=res.prime_bonus,
         num_moves=moves.count,
+        overflow=(
+            moves.overflow
+            if moves.overflow is not None
+            else jnp.zeros_like(res.done)
+        ),
     )
     new_state = res.state
     if continuous:

@@ -121,6 +121,9 @@ def train_sync(cfg: Config, args, writer: MetricsWriter) -> td.TrainState:
             {**{k: float(v) for k, v in metrics.items()}, **tput.rates(),
              "temperature": float(temp)},
         )
+        if args.histograms_every and u % args.histograms_every == 0:
+            # per-update weight/bias histograms (reference trainer.py:222-226)
+            writer.param_histograms(int(state.episode_count), state.params)
         if int(state.episode_count) - last_saved >= cfg.train.checkpoint_every_episodes:
             ckpt.save(cfg.train.checkpoint_dir, state, key)
             last_saved = int(state.episode_count)
@@ -172,6 +175,8 @@ def train_continuous_single(cfg: Config, args, writer: MetricsWriter):
             {**{k: float(np.mean(v)) for k, v in metrics.items()}, **tput.rates(),
              "temperature": float(temp), **device_memory_stats()},
         )
+        if args.histograms_every and u % args.histograms_every == 0:
+            writer.param_histograms(int(state.episode_count), state.params)
         if int(state.episode_count) - last_saved >= cfg.train.checkpoint_every_episodes:
             ckpt.save(cfg.train.checkpoint_dir, state, key)
             last_saved = int(state.episode_count)
@@ -218,6 +223,11 @@ def train_continuous(cfg: Config, args, writer: MetricsWriter) -> td.TrainState:
             int(jax.device_get(state.episode_count)),
             {**{k: float(v) for k, v in metrics.items()}, **tput.rates()},
         )
+        if args.histograms_every and u % args.histograms_every == 0:
+            writer.param_histograms(
+                int(jax.device_get(state.episode_count)),
+                jax.device_get(state.params),
+            )
         ec = int(jax.device_get(state.episode_count))
         if ec - last_saved >= cfg.train.checkpoint_every_episodes:
             ckpt.save(cfg.train.checkpoint_dir, jax.device_get(state), key)
@@ -253,6 +263,10 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint-every", type=int, default=50_000)
     ap.add_argument("--metrics-dir", default="runs")
     ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--histograms-every", type=int, default=1,
+                    help="write weight/bias histograms every N updates "
+                         "(reference cadence is every update, "
+                         "trainer.py:222-226); 0 disables")
     ap.add_argument("--small-movegen", action="store_true",
                     help="reduced enumeration widths (fast compile, CPU smoke)")
     ap.add_argument("--production", action="store_true",

@@ -41,9 +41,11 @@ class ModelConfig:
 
 @dataclasses.dataclass(frozen=True)
 class EnvConfig:
-    # Cap on actions presented per decision (reference backgammon_env.py:35,
-    # max_legal_moves=500). Fixed-shape analog: afterstate axis length.
-    max_legal_moves: int = 500
+    # NOTE: the reference's 500-move action cap (backgammon_env.py:35,
+    # max_legal_moves) lives in MoveGenConfig.a_max here — the presented-
+    # action axis IS the cap in a fixed-shape program, and one knob beats two
+    # that can disagree. The pure-python OracleEnv keeps a literal
+    # max_legal_moves=500 because it mirrors the reference exactly.
     # Episode step cap (reference configuration.py:4 MAX_TIMESTEPS; note the
     # reference counts env.step calls including auto-passes, worker.py:101).
     max_timesteps: int = 300
@@ -65,11 +67,12 @@ class MoveGenConfig:
 
     The reference enumerates moves with unbounded Python recursion
     (handle_move_types.py); a fixed-shape XLA program needs static caps.
-    Caps below are validated empirically against the oracle (see
-    tests/test_movegen_widths.py); exceeding a cap drops the highest-rank
+    Caps are validated empirically by randomized audit
+    (scripts/audit_widths.py); exceeding a cap drops the highest-rank
     (latest in reference enumeration order) candidates, which is exactly the
     truncation the reference's 500-move env cap applies at the end
-    (backgammon_env.py:262-272).
+    (backgammon_env.py:262-272). Every width-cap hit is surfaced at runtime:
+    MoveSet.overflow -> the width_overflow_count training metric.
     """
 
     # Doubles level-wise frontier widths (unique boards after k submoves).
@@ -77,7 +80,11 @@ class MoveGenConfig:
     w2: int = 128
     w3: int = 288
     w4: int = 512
-    # Final presented-action cap; mirrors EnvConfig.max_legal_moves.
+    # Final presented-action cap — THE Q7 cap (reference max_legal_moves=500,
+    # backgammon_env.py:35,:262-272). Default 512 = the next lane-tile
+    # multiple above 500: the extra 12 slots only ever ADD presented moves
+    # the reference would have truncated, and keep the action axis MXU/VPU
+    # tile-aligned. Unreachable in practice (audited max well below 448).
     a_max: int = 512
     # Enumeration engine: "canonical" (sortless, fast; doubles in canonical
     # rather than reference-DFS order — identical move SETS) or "sorted"

@@ -70,6 +70,13 @@ class MoveSet(NamedTuple):
     boards: Board  # afterstates, batch [..., A]
     valid: jax.Array  # bool[..., A]
     count: jax.Array  # int32[...]
+    # bool[...] — True where ANY candidate was dropped by a fixed-shape width
+    # cap this call (nd_dedup_k / doubles level widths / a_max Q7 cap /
+    # dd sub-batch). Surfaces the silent-truncation failure class SURVEY §5.3
+    # flags; aggregated per update as the width_overflow_count metric. None
+    # from engines that don't track it (the sorted engine enumerates at full
+    # reference widths).
+    overflow: jax.Array = None
 
 
 def _shift_by_die(arr: jax.Array, d8: jax.Array, sign8: jax.Array) -> jax.Array:

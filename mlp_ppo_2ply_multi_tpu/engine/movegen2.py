@@ -294,8 +294,12 @@ def enumerate_nondoubles(
     # [4096, 512]-row gather measured 82ms): the move set keeps width
     # nd_dedup_k with a non-contiguous valid mask.
     rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1)
+    pre_cap_total = rank[..., -1]
     keep = keep & (rank <= cfg.a_max)
-    return MoveSet(boards=after, valid=keep, count=_popcount(keep))
+    # truncation observability: candidates lost to the dedup-slot cap or the
+    # Q7 presented-action cap
+    overflow = (_popcount(valid) > K) | (pre_cap_total > cfg.a_max)
+    return MoveSet(boards=after, valid=keep, count=_popcount(keep), overflow=overflow)
 
 
 # ---------------------------------------------------------------------------
@@ -325,9 +329,11 @@ class _Frontier(NamedTuple):
 
 def _expand(
     front: _Frontier, player: jax.Array, die: jax.Array, width: int
-) -> Tuple[_Frontier, MoveSet]:
+) -> Tuple[_Frontier, MoveSet, jax.Array]:
     """One canonical level expansion; also returns this level's forced-short
-    records as a (boards, valid, count) set in frontier order."""
+    records as a (boards, valid, count) set in frontier order, plus a
+    bool[...] overflow flag (more legal children than ``width`` slots —
+    dropped children could have produced final moves)."""
     pw = player[..., None]
     st = slot_table(front.boards, pw, die[..., None])  # [..., W, 27]
     full_cc = _popcount(st.valid)  # [..., W]
@@ -355,9 +361,11 @@ def _expand(
     adj = jnp.where(p32 == 0, sg, NUM_POINTS - 1 - sg)
     nrank = jnp.where(sg == BAR, -1, 2 * adj + (eg == BEAR_OFF))
     ponly = jnp.any(oh_p & (full_cc == 1)[..., None, :], axis=-1)
+    n_children = jnp.sum(child_valid.astype(jnp.int32), axis=(-1, -2))
     return (
         _Frontier(boards=nboards, last_rank=nrank, only=ponly, valid=out_ok),
         shorts,
+        n_children > width,
     )
 
 
@@ -383,9 +391,9 @@ def enumerate_doubles(
         valid=ok1,
     )
 
-    front2, shorts1 = _expand(front, player, die, cfg.w2)
-    front3, shorts2 = _expand(front2, player, die, cfg.w3)
-    front4, shorts3 = _expand(front3, player, die, cfg.w4)
+    front2, shorts1, ov2 = _expand(front, player, die, cfg.w2)
+    front3, shorts2, ov3 = _expand(front2, player, die, cfg.w3)
+    front4, shorts3, ov4 = _expand(front3, player, die, cfg.w4)
 
     has4 = jnp.any(front4.valid, axis=-1)
     a3 = jnp.any(shorts3.valid, axis=-1)
@@ -442,7 +450,15 @@ def enumerate_doubles(
     out = merge(m4, m3, has4)
     out = merge(out, m2, has4 | ((~has4) & a3))
     out = merge(out, m1, has4 | a3 | a2)
-    return out
+    # any frontier-width drop can lose final moves regardless of which level
+    # is ultimately selected (a dropped level-2 entry could have spawned
+    # level-4 children); OR in the Q7 cap on the selected level's set
+    overflow = (
+        (root_cc > cfg.w1) | ov2 | ov3 | ov4
+        | (jnp.where(has4, _popcount(front4.valid & has4[..., None]), 0) > a_max)
+    )
+    return MoveSet(boards=out.boards, valid=out.valid, count=out.count,
+                   overflow=overflow)
 
 
 def _flat_take0(tree, idx: jax.Array):
@@ -457,6 +473,7 @@ def _unflatten_moveset(ms: MoveSet, batch_shape) -> MoveSet:
         ),
         valid=ms.valid.reshape(*batch_shape, a),
         count=ms.count.reshape(batch_shape),
+        overflow=None if ms.overflow is None else ms.overflow.reshape(batch_shape),
     )
 
 
@@ -491,6 +508,7 @@ def enumerate_doubles_batched(
             boards=Board(data=jnp.pad(ms.boards.data, ((0, 0), (0, p), (0, 0)))),
             valid=jnp.pad(ms.valid, ((0, 0), (0, p))),
             count=ms.count,
+            overflow=ms.overflow,
         )
     return _unflatten_moveset(ms, bs)
 
@@ -520,6 +538,7 @@ def legal_moves(
     if n <= 64 or cfg.dd_subbatch_div <= 0:
         dd = enumerate_doubles(fboard, fplayer, fdice[:, 0].astype(jnp.int32), cfg)
         dd_boards, dd_valid, dd_count = dd.boards, dd.valid, dd.count
+        dd_overflow = dd.overflow
     else:
         w_dd = max(8, -(-n // cfg.dd_subbatch_div))
         sel_idx, sel_ok = _select_set_bits(is_double, w_dd)
@@ -538,6 +557,8 @@ def legal_moves(
         dd_boards = _flat_take0(sub.boards, slot)
         dd_valid = jnp.take(sub_valid, slot, axis=0) & in_range[:, None]
         dd_count = jnp.where(in_range, jnp.take(sub.count, slot), 0)
+        # sub-batch overflow presents zero moves — flag it as truncation
+        dd_overflow = jnp.where(in_range, jnp.take(sub.overflow, slot), True)
 
     # nd keeps width nd_dedup_k (non-contiguous valid); dd is width a_max
     # (contiguous). Pad the narrower side before merging.
@@ -553,18 +574,14 @@ def legal_moves(
 
     dd_boards, dd_valid = pad_to(dd_boards, dd_valid)
     nd_boards, nd_valid = pad_to(nd.boards, nd.valid)
-    nd = MoveSet(boards=nd_boards, valid=nd_valid, count=nd.count)
+    nd = MoveSet(
+        boards=nd_boards, valid=nd_valid, count=nd.count, overflow=nd.overflow
+    )
     pred = jnp.broadcast_to(is_double[:, None], nd.valid.shape)
     out = MoveSet(
         boards=board_where(pred, dd_boards, nd.boards),
         valid=jnp.where(pred, dd_valid, nd.valid),
         count=jnp.where(is_double, dd_count, nd.count),
+        overflow=jnp.where(is_double, dd_overflow, nd.overflow),
     )
-    a = out.valid.shape[-1]
-    return MoveSet(
-        boards=jax.tree.map(
-            lambda x: x.reshape(*batch_shape, a, *x.shape[2:]), out.boards
-        ),
-        valid=out.valid.reshape(*batch_shape, a),
-        count=out.count.reshape(batch_shape),
-    )
+    return _unflatten_moveset(out, batch_shape)

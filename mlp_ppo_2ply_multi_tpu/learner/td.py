@@ -219,6 +219,9 @@ def update(state: TrainState, traj: Transition, cfg: Config):
             "prime_count": jnp.sum(traj.prime),
         }
     )
+    if traj.overflow is not None:
+        # decisions whose presented move set was width-truncated (Q7 ledger)
+        metrics["width_overflow_count"] = jnp.sum(traj.overflow.astype(jnp.int32))
     new_state = TrainState(
         params=params,
         opt_state=opt_state,

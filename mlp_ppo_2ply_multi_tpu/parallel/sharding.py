@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mlp_ppo_2ply_multi_tpu.core.config import Config
@@ -180,6 +180,9 @@ def make_train_step(mesh: Mesh, cfg: Config, num_steps: int, tp: bool = False):
             "close_out_count": jax.lax.psum(jnp.sum(traj.close_out), DATA_AXIS),
             "prime_count": jax.lax.psum(jnp.sum(traj.prime), DATA_AXIS),
             "reward_sum": jax.lax.psum(jnp.sum(traj.reward), DATA_AXIS),
+            "width_overflow_count": jax.lax.psum(
+                jnp.sum(traj.overflow.astype(jnp.int32)), DATA_AXIS
+            ),
         }
         new_state = td.TrainState(
             params=params,
@@ -198,8 +201,56 @@ def make_train_step(mesh: Mesh, cfg: Config, num_steps: int, tp: bool = False):
             mesh=mesh,
             in_specs=(specs, P(DATA_AXIS), P()),
             out_specs=(specs, P(DATA_AXIS), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(state, env_state, key)
+
+    return jax.jit(step)
+
+
+def make_update_step(mesh: Mesh, cfg: Config, tp: bool = False):
+    """Build the update-only SPMD step: (train_state, traj) -> (state, loss).
+
+    The trajectory's game axis (axis 1 of every [T, B, ...] leaf) is sharded
+    over the data axis; each device computes gradients on its local episode
+    columns and the psum(grads)/n equals the global-batch gradient exactly
+    (equal shard sizes, per-episode-mean loss). Used by training pipelines
+    that separate rollout from update, and by the DP-equivalence test
+    (tests/test_parallel.py) which checks psum-of-shards == one-device
+    global-batch update on identical trajectories."""
+    lcfg = _tp_config(cfg, tp)
+
+    def local_update(state: td.TrainState, traj):
+        obs = td.encode_traj(traj, lcfg)
+        grad_fn = jax.value_and_grad(td.episode_loss_and_metrics, has_aux=True)
+        (loss, _), grads = grad_fn(
+            state.params, obs, traj.reward, traj.recorded, traj.boundary, lcfg,
+            traj.player,
+        )
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        opt = td.make_optimizer(lcfg)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = td.TrainState(
+            params=params,
+            opt_state=opt_state,
+            version=state.version + 1,
+            episode_count=state.episode_count + jax.lax.psum(
+                jnp.sum(traj.boundary.astype(jnp.int32)), DATA_AXIS
+            ),
+        )
+        return new_state, loss
+
+    def step(state, traj):
+        specs = train_state_specs(jax.eval_shape(lambda x: x, state), tp)
+        fn = shard_map(
+            local_update,
+            mesh=mesh,
+            in_specs=(specs, P(None, DATA_AXIS)),
+            out_specs=(specs, P()),
+            check_vma=False,
+        )
+        return fn(state, traj)
 
     return jax.jit(step)

@@ -56,8 +56,13 @@ def test_train_cli_sync_smoke(tmp_path):
     assert len(runs) == 1
     lines = open(tmp_path / "runs" / runs[0] / "metrics.jsonl").read().splitlines()
     recs = [json.loads(l) for l in lines]
-    assert len(recs) == 2
-    assert all(np.isfinite(r["loss"]) for r in recs)
+    scalars = [r for r in recs if "hist" not in r]
+    hists = [r for r in recs if "hist" in r]
+    assert len(scalars) == 2
+    assert all(np.isfinite(r["loss"]) for r in scalars)
+    assert all("width_overflow_count" in r for r in scalars)
+    # per-update weight/bias histograms (reference trainer.py:222-226)
+    assert len(hists) == 2 * 4 and all("mean" in r for r in hists)
     assert os.path.isdir(tmp_path / "ck")
 
 

@@ -49,29 +49,49 @@ def test_train_step_runs_on_mesh(data, model):
 
 
 def test_dp_matches_single_device_update():
-    """One fused update on the 8-way data mesh must equal the same update run
-    unsharded: psum-of-local-grads == global-batch gradient."""
-    mesh = sharding.make_mesh(8, 1)
+    """psum-of-shards == single-device global-batch update on IDENTICAL
+    trajectories: roll out ONE unsharded trajectory, then apply (a) the fused
+    single-device update and (b) the 8-way data-sharded update to the same
+    TrainState, and require the resulting parameters to match."""
+    from mlp_ppo_2ply_multi_tpu.actor import rollout as actor
+
     key = jax.random.PRNGKey(3)
     state, env_state = _init(key, batch=16)
+    temp = td.temperature(state.version, TINY)
+    _, traj = actor.rollout(
+        state.params, env_state, jax.random.PRNGKey(11), temp, TINY, 6,
+        continuous=True,
+    )
 
-    # sharded step
+    # (a) single-device fused update (per_episode_updates=False in TINY)
+    out_one, m_one = td.update(state, traj, TINY)
+
+    # (b) the same trajectory sharded over the 8-way data mesh
+    mesh = sharding.make_mesh(8, 1)
     sh_state = sharding.shard_train_state(state, mesh, tp=False)
-    sh_env = sharding.shard_env_state(env_state, mesh)
-    step = sharding.make_train_step(mesh, TINY, num_steps=6, tp=False)
-    out_sh, _, m_sh = step(sh_state, sh_env, jax.random.PRNGKey(11))
+    sh_traj = jax.tree.map(
+        lambda x: jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+        ),
+        traj,
+    )
+    upd = sharding.make_update_step(mesh, TINY, tp=False)
+    out_sh, loss_sh = upd(sh_state, sh_traj)
 
-    # reference: replicate the sharded rollout exactly — per-device key
-    # streams differ from a single monolithic rollout, so instead check
-    # internal consistency: metrics finite, version bump, and the update
-    # applied is consistent with the psum'd gradient (loss decreases over a
-    # few steps in expectation is too flaky; just re-run determinism).
-    out_sh2, _, m_sh2 = step(sh_state, sh_env, jax.random.PRNGKey(11))
-    for k in out_sh.params:
-        np.testing.assert_array_equal(
-            np.asarray(out_sh.params[k]), np.asarray(out_sh2.params[k])
+    np.testing.assert_allclose(
+        float(m_one["loss"]), float(loss_sh), rtol=1e-6, atol=1e-7
+    )
+    for k in state.params:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(out_one.params[k])),
+            np.asarray(jax.device_get(out_sh.params[k])),
+            rtol=1e-5,
+            atol=1e-6,
+            err_msg=k,
         )
-    assert float(m_sh["loss"]) == float(m_sh2["loss"])
+    # episode accounting conventions differ by design: td.update (sync) counts
+    # columns, the sharded update counts episode boundaries — not compared.
+    assert int(out_sh.version) == int(out_one.version) == 1
 
 
 def test_tp_matches_no_tp():
