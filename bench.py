@@ -69,7 +69,9 @@ def production_config() -> Config:
 
     return Config(
         movegen=MoveGenConfig.fast(),
-        model=ModelConfig(dtype="bfloat16", fused_actor_kernel=True),
+        model=ModelConfig(
+            dtype="bfloat16", fused_actor_kernel=True, actor_tier_width=96
+        ),
     )
 
 

@@ -10,4 +10,20 @@ expectimax, and data-parallel scaling over a jax.sharding.Mesh.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if not _os.environ.get("MLP_NO_COMPILE_CACHE"):
+    # XLA compiles of the production step take ~10 min through the tunneled
+    # TPU backend; the persistent compilation cache makes every identical
+    # re-run (benchmarks, training restarts, the driver's bench) skip it.
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.jax_cache")
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 from mlp_ppo_2ply_multi_tpu.core.config import Config  # noqa: F401

@@ -23,7 +23,11 @@ import jax.numpy as jnp
 from mlp_ppo_2ply_multi_tpu.core.config import Config
 from mlp_ppo_2ply_multi_tpu.encoder.features import encode_board
 from mlp_ppo_2ply_multi_tpu.engine import board as B
-from mlp_ppo_2ply_multi_tpu.engine.movegen import MoveSet, legal_moves
+from mlp_ppo_2ply_multi_tpu.engine.movegen import (
+    MoveSet,
+    board_take_onehot,
+    legal_moves,
+)
 from mlp_ppo_2ply_multi_tpu.env import vec_env
 from mlp_ppo_2ply_multi_tpu.model import value_net
 
@@ -56,26 +60,41 @@ def select_action(
     key: jax.Array,
     temperature: jax.Array,
     cfg: Config,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """softmax(V/T) sampling over afterstate values (worker.py:136-143).
 
-    Returns (action, v_obs). The current observation is evaluated in the same
-    forward pass as the candidates, mirroring worker.py:115-125.
+    Returns (action, v_obs, tier_overflow). The current observation is
+    evaluated alongside the candidates, mirroring worker.py:115-125.
 
     td_mode="side0" (TD-Gammon semantics): afterstates are encoded with the
     truthful side-to-move flag (the opponent, who is on roll after the move)
     and side 1 minimizes the side-0 value.
+
+    With cfg.model.actor_tier_width > 0 the value forward runs two-tier (see
+    ModelConfig): the typical decision presents ~20 legal moves out of a_max
+    padded slots, so compacting to the first `tier` valid slots (exact for
+    count <= tier) plus a full-width sub-batch for the rare wide games cuts
+    the kernel's row count ~3.6x at B=4096 (measured count distribution:
+    p50=14, P(>96)=2.4%, scripts/probe_counts.py).
     """
     side0 = cfg.train.td_mode == "side0"
     cand_flag = (1 - state.player) if side0 else state.player
+    sgn = jnp.where(state.player == 0, 1.0, -1.0) if side0 else None
+    no_overflow = jnp.zeros(state.player.shape, bool)
+    tier = cfg.model.actor_tier_width
     if cfg.model.fused_actor_kernel:
         from mlp_ppo_2ply_multi_tpu.ops.fused_value import fused_value
 
-        # candidates through the VMEM-fused kernel; the single obs row per
-        # game through the standard (tiny) path
+        # the single obs row per game through the standard (tiny) path
         v_obs = value_net.forward(
             params, encode_board(state.board, state.player), cfg.model
         )
+        if tier and tier < moves.valid.shape[-1]:
+            action, tier_ov = _select_action_tiered(
+                params, moves, cand_flag, sgn, key, temperature, cfg
+            )
+            return action, v_obs, tier_ov
+        # candidates through the VMEM-fused kernel; features stay in VMEM
         v_moves = fused_value(moves.boards.data, cand_flag[..., None], params)
     else:
         obs = encode_board(state.board, state.player)  # [B, 198]
@@ -84,11 +103,68 @@ def select_action(
         v = value_net.forward(params, x, cfg.model)  # [B, A+1]
         v_obs, v_moves = v[..., 0], v[..., 1:]
     if side0:
-        sgn = jnp.where(state.player == 0, 1.0, -1.0)[..., None]
-        v_moves = v_moves * sgn
+        v_moves = v_moves * sgn[..., None]
     logits = jnp.where(moves.valid, v_moves / temperature, _NEG)
     action = jax.random.categorical(key, logits, axis=-1)
-    return action, v_obs
+    return action, v_obs, no_overflow
+
+
+def _select_action_tiered(
+    params, moves: MoveSet, cand_flag, sgn, key, temperature, cfg: Config
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-tier candidate evaluation (ModelConfig.actor_tier_width).
+
+    Tier 1: every game's first `tier` valid slots, compacted order-preserving
+    with a blocked set-bit select + one-hot board take — complete for games
+    with count <= tier. Tier 2: games with count > tier gathered into a
+    batch/actor_tier_wide_div sub-batch evaluated at full presented width.
+    Returns (action in ORIGINAL slot coordinates, overflow flag for games
+    that exceeded the wide sub-batch and fell back to the truncated tier)."""
+    from mlp_ppo_2ply_multi_tpu.engine.movegen2 import (
+        _select_set_bits,
+        _select_set_bits_fast,
+    )
+    from mlp_ppo_2ply_multi_tpu.ops.fused_value import fused_value
+
+    tier = cfg.model.actor_tier_width
+    k1, k2 = jax.random.split(key)
+    b = moves.valid.shape[0]
+    a = moves.valid.shape[-1]
+
+    # ---- tier 1: [B, tier] compacted candidates ----
+    idx1, ok1 = _select_set_bits_fast(moves.valid, tier)  # [B, tier]
+    t1 = board_take_onehot(moves.boards, idx1)
+    v1 = fused_value(t1.data, cand_flag[..., None], params)  # [B, tier]
+    if sgn is not None:
+        v1 = v1 * sgn[..., None]
+    logits1 = jnp.where(ok1, v1 / temperature, _NEG)
+    pick1 = jax.random.categorical(k1, logits1, axis=-1)  # tier-space index
+    # map back to the original slot: one-hot reduce (no row-varying gather)
+    a1 = jnp.sum(
+        jnp.where(pick1[..., None] == jnp.arange(tier), idx1, 0), axis=-1
+    )
+
+    # ---- tier 2: wide games at full width on a compacted sub-batch ----
+    wide = moves.count > tier
+    wn = max(8, b // cfg.model.actor_tier_wide_div)
+    sel, sel_ok = _select_set_bits(wide, wn)  # [wn]
+    t2_boards = jnp.take(moves.boards.data, sel, axis=0)  # [wn, A, 52]
+    t2_flag = jnp.take(jnp.broadcast_to(cand_flag, (b,)), sel)
+    t2_valid = jnp.take(moves.valid, sel, axis=0) & sel_ok[:, None]
+    v2 = fused_value(t2_boards, t2_flag[..., None], params)  # [wn, A]
+    if sgn is not None:
+        v2 = v2 * jnp.take(sgn, sel)[..., None]
+    logits2 = jnp.where(t2_valid, v2 / temperature, _NEG)
+    a2 = jax.random.categorical(k2, logits2, axis=-1)  # [wn]
+
+    rank = jnp.cumsum(wide.astype(jnp.int32)) - 1  # rank among wide games
+    in_sub = wide & (rank < wn)
+    a2_back = jnp.take(a2, jnp.clip(rank, 0, wn - 1))
+    action = jnp.where(in_sub, a2_back, a1)
+    # a wide game beyond the sub-batch uses the truncated tier-1 set — a
+    # width truncation, surfaced via the overflow flag (never observed at
+    # the audited distribution; ~28 sigma of headroom at B=4096, div=16)
+    return action, wide & ~in_sub
 
 
 def rollout_step(
@@ -101,6 +177,7 @@ def rollout_step(
 ) -> Tuple[vec_env.EnvState, Transition]:
     k_act, k_roll, k_reset = jax.random.split(key, 3)
     moves = legal_moves(state.board, state.player, state.dice, cfg.movegen)
+    tier_ov = jnp.zeros(state.player.shape, bool)
     if cfg.twoply.enabled:
         from mlp_ppo_2ply_multi_tpu.twoply.expectimax import select_action_2ply
 
@@ -108,7 +185,7 @@ def rollout_step(
             params, state, moves, key=k_act, temperature=temperature, cfg=cfg
         )
     else:
-        action, v_obs = select_action(
+        action, v_obs, tier_ov = select_action(
             params, state, moves, key=k_act, temperature=temperature, cfg=cfg
         )
     next_dice = vec_env.roll_dice(k_roll, state.player.shape)
@@ -127,7 +204,7 @@ def rollout_step(
         close_out=res.close_out_bonus,
         prime=res.prime_bonus,
         num_moves=moves.count,
-        overflow=(
+        overflow=tier_ov | (
             moves.overflow
             if moves.overflow is not None
             else jnp.zeros_like(res.done)

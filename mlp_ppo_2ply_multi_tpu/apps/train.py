@@ -83,7 +83,9 @@ def build_config(args) -> Config:
         cfg = dataclasses.replace(
             cfg,
             movegen=MoveGenConfig.fast(),
-            model=ModelConfig(dtype="bfloat16", fused_actor_kernel=True),
+            model=ModelConfig(
+                dtype="bfloat16", fused_actor_kernel=True, actor_tier_width=96
+            ),
         )
     if args.max_timesteps is not None:
         cfg = dataclasses.replace(

@@ -33,6 +33,17 @@ class ModelConfig:
     # [B, A, 198] HBM tensor. bfloat16-class numerics (see module docstring);
     # the learner and f32 parity paths are unaffected.
     fused_actor_kernel: bool = False
+    # Two-tier actor candidate evaluation (PERF.md round 2): > 0 compacts
+    # each game's valid candidates (order-preserving) to this many slots for
+    # the value forward + sampling; games with more legal moves than the tier
+    # width are gathered into a batch/actor_tier_wide_div sub-batch evaluated
+    # at full width. Exact: narrow games see their complete move set, wide
+    # games go through the wide path (audited P(count > 96) = 2.4%, so a
+    # batch/16 wide sub-batch sits ~28 sigma above the mean demand; an
+    # overflow would fall back to the truncated narrow tier AND raise the
+    # overflow flag). 0 = evaluate all presented slots directly.
+    actor_tier_width: int = 0
+    actor_tier_wide_div: int = 16
     # When set (inside shard_map over a mesh axis with this name), the hidden
     # layer is tensor-parallel: w1/b1 are column-sharded, w2 row-sharded, and
     # the head matmul's partial sums are reduced with psum over this axis.
@@ -110,8 +121,15 @@ class MoveGenConfig:
         widths lose their highest-rank candidates — the same truncation
         class as the reference's own 500-move cap (Q7). a_max == w4: the
         level-4 doubles frontier (the widest source) has only w4 slots, so a
-        larger presented-action axis can never fill and is pure padding."""
-        return cls(w1=16, w2=96, w3=224, w4=448, a_max=448, nd_dedup_k=288)
+        larger presented-action axis can never fill and is pure padding.
+
+        dd_subbatch_div=4: at the production batch (4096) the doubles count
+        is Binomial(B, 1/6) — B/4 slots sit 14 sigma above the mean, and an
+        overflow is no longer silent (MoveSet.overflow)."""
+        return cls(
+            w1=16, w2=96, w3=224, w4=448, a_max=448, nd_dedup_k=288,
+            dd_subbatch_div=4,
+        )
 
 
 @dataclasses.dataclass(frozen=True)

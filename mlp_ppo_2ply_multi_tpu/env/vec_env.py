@@ -29,7 +29,7 @@ import numpy as np
 from mlp_ppo_2ply_multi_tpu.core.config import EnvConfig
 from mlp_ppo_2ply_multi_tpu.engine import board as B
 from mlp_ppo_2ply_multi_tpu.engine.board import Board
-from mlp_ppo_2ply_multi_tpu.engine.movegen import MoveSet, board_take
+from mlp_ppo_2ply_multi_tpu.engine.movegen import MoveSet, board_take_onehot
 
 
 class EnvState(NamedTuple):
@@ -143,7 +143,10 @@ def step(
     acting = live & (moves.count > 0)
 
     a = jnp.clip(action, 0, moves.valid.shape[-1] - 1)
-    chosen = board_take(moves.boards, a[..., None])
+    # one-hot matmul take: a row gather here forced a [B, A, 52] layout copy
+    # (~0.65ms at B=4096, A=448) plus a slow gather; the one-hot einsum rides
+    # the MXU and fuses with the producer's layout (PERF.md round 2)
+    chosen = board_take_onehot(moves.boards, a[..., None])
     chosen = Board(data=chosen.data[..., 0, :])
     new_board = Board(
         data=jnp.where(acting[..., None], chosen.data, state.board.data)

@@ -33,12 +33,28 @@ def doubles_levels(board, player, die):
     rec(board, 0, -10)
     return sizes
 
+def audit_position(board, player, roll, acc):
+    """Update running maxima + presented-count stats for one decision."""
+    c = pre_dedup_count(board, player, roll)
+    if c is not None and c > acc["max_nd"]:
+        acc["max_nd"], acc["arg_nd"] = c, (roll, player)
+    if roll[0] == roll[1]:
+        lv = doubles_levels(board, player, roll[0])
+        acc["max_lv"] = [max(a, b) for a, b in zip(acc["max_lv"], lv)]
+    n_presented = len(rules.full_moves(board, player, list(roll)))
+    acc["max_presented"] = max(acc["max_presented"], n_presented)
+    acc["presented"].append(n_presented)
+    acc["n"] += 1
+
+
 def main():
     n_games = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    n_synth = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     rng = random.Random(1234)
-    max_nd, max_lv = 0, [0, 0, 0, 0]
-    arg_nd = None
-    steps = 0
+    acc = {
+        "max_nd": 0, "arg_nd": None, "max_lv": [0, 0, 0, 0],
+        "max_presented": 0, "presented": [], "n": 0,
+    }
     for g in range(n_games):
         dice = iter(lambda: (rng.randint(1, 6), rng.randint(1, 6)), None)
         env = OracleEnv(dice)
@@ -46,18 +62,27 @@ def main():
         for _ in range(300):
             if env.game_over:
                 break
-            c = pre_dedup_count(env.board, env.player, env.roll)
-            if c is not None and c > max_nd:
-                max_nd, arg_nd = c, (env.roll, env.player)
-            if env.roll[0] == env.roll[1]:
-                lv = doubles_levels(env.board, env.player, env.roll[0])
-                max_lv = [max(a, b) for a, b in zip(max_lv, lv)]
+            audit_position(env.board, env.player, tuple(env.roll), acc)
             a = None if env.num_moves == 0 else rng.randrange(env.num_moves)
             env.step(a)
-            steps += 1
-    print(f"games={n_games} steps={steps}")
-    print(f"max pre-dedup nondoubles candidates: {max_nd} (cfg nd_dedup_k default 576)")
-    print(f"max canonical doubles level sizes (L1..L4): {max_lv} (cfg w=16/128/288/512)")
+    # synthetic positions (oracle/sampling.random_board) reach adversarial
+    # bear-off / stacked / bar-heavy states random play rarely visits; every
+    # roll incl. all six doubles is audited per position (VERDICT #6)
+    if n_synth:
+        from mlp_ppo_2ply_multi_tpu.oracle import sampling
+
+        for _ in range(n_synth):
+            b = sampling.random_board(rng)
+            p = rng.randint(0, 1)
+            for roll in [(rng.randint(1, 6), rng.randint(1, 6)),
+                         (rng.randint(1, 6),) * 2]:
+                audit_position(b, p, roll, acc)
+    pres = sorted(acc["presented"])
+    q = lambda f: pres[min(len(pres) - 1, int(f * len(pres)))]
+    print(f"games={n_games} synthetic={n_synth} decisions={acc['n']}")
+    print(f"max pre-dedup nondoubles candidates: {acc['max_nd']} (cfg nd_dedup_k default 576)")
+    print(f"max canonical doubles level sizes (L1..L4): {acc['max_lv']} (cfg w=16/128/288/512)")
+    print(f"presented moves: p50={q(.5)} p99={q(.99)} p999={q(.999)} max={acc['max_presented']}")
 
 if __name__ == "__main__":
     main()
