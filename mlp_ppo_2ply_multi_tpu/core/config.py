@@ -111,6 +111,17 @@ class MoveGenConfig:
     # every game (the 2-ply scorer) must use 0 (full batch). Default 3 keeps
     # overflow probability ~30 sigma below ever happening at batch >= 1024.
     dd_subbatch_div: int = 3
+    # Canonical engine: when > 0, the non-doubles first-occurrence dedup runs
+    # two-tier (see movegen2._dup_two_tier): an exact pairwise pass over the
+    # first nd_dedup_tier compacted slots for every game, plus a full-width
+    # pass over a batch/nd_dedup_wide_div sub-batch of the games whose
+    # pre-dedup count exceeds the tier. Measured production count
+    # distribution: p50=14, P(count>96)=2.4% (PERF.md round 2), so
+    # tier 96 / div 8 gives ~40 sigma of sub-batch headroom at batch 4096;
+    # an overflow falls back to the exact tier prefix and is surfaced via
+    # MoveSet.overflow. 0 = single full-width pass.
+    nd_dedup_tier: int = 0
+    nd_dedup_wide_div: int = 8
 
     @classmethod
     def fast(cls) -> "MoveGenConfig":
@@ -128,7 +139,7 @@ class MoveGenConfig:
         overflow is no longer silent (MoveSet.overflow)."""
         return cls(
             w1=16, w2=96, w3=224, w4=448, a_max=448, nd_dedup_k=288,
-            dd_subbatch_div=4,
+            dd_subbatch_div=4, nd_dedup_tier=96, nd_dedup_wide_div=8,
         )
 
 

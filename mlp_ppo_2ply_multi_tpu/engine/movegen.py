@@ -279,11 +279,15 @@ def board_take_onehot(b: Board, idx: jax.Array) -> Board:
     """
     w = b.data.shape[-2]
     oh = (idx[..., None] == jnp.arange(w, dtype=jnp.int32)).astype(jnp.bfloat16)
+    # bf16 accumulation is exact here: each output lane sums exactly ONE
+    # nonzero product (a count <= 15), and bf16 holds ints <= 256 exactly —
+    # the f32 variant materialized [.., K, 52] f32 intermediates + layout
+    # copies worth ~0.4ms/step at B=4096 (PERF.md round 2)
     data = jnp.einsum(
         "...kw,...wc->...kc",
         oh,
         b.data.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.bfloat16,
     )
     return Board(data=data.astype(jnp.int8))
 
@@ -296,7 +300,7 @@ def board_take_oh(b: Board, oh: jax.Array) -> Board:
         "...kw,...wc->...kc",
         oh.astype(jnp.bfloat16),
         b.data.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.bfloat16,  # exact: one nonzero per output
     )
     return Board(data=data.astype(jnp.int8))
 

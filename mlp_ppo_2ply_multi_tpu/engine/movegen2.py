@@ -202,6 +202,59 @@ def _run_pass(board: Board, player, d_first, d_second) -> _Pass:
     return _Pass(s1, b1, s2, pair_valid, any_pair, single_valid)
 
 
+def _dup_two_tier(
+    packed: jax.Array,
+    ok: jax.Array,
+    count: jax.Array,
+    tier: int,
+    div: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-tier first-occurrence dup mask (MoveGenConfig.nd_dedup_tier).
+
+    The pairwise Gram dedup materializes an O(B*K^2) f32 intermediate; at the
+    production widths that is the single largest HBM stream in the step while
+    the median decision has ~14 pre-dedup candidates (PERF.md round 2).
+    Tier 1 runs the pairwise test on the first ``tier`` compacted slots of
+    every game — EXACT for any slot i < tier because dup[i] only references
+    earlier slots j < i, regardless of the game's total count. Tier 2 gathers
+    games with count > tier into a batch/div sub-batch deduplicated at full
+    width. A wide game beyond the sub-batch capacity keeps its tier-1 prefix
+    and drops slots >= tier — the same surfaced-truncation class as the Q7
+    cap (returned as the second element, ORed into MoveSet.overflow).
+    """
+    *lead, k, c = packed.shape
+    b = 1
+    for d in lead:
+        b *= d
+    p = packed.reshape(b, k, c)
+    okf = ok.reshape(b, k)
+    cnt = count.reshape(b)
+
+    dup1 = _dup_earlier_mask(p[:, :tier], okf[:, :tier])  # [b, tier]
+
+    wide = cnt > tier
+    wn = max(8, b // div)
+    sel, sel_ok = _select_set_bits(wide, wn)  # [wn]
+    p2 = jnp.take(p, sel, axis=0)  # [wn, k, c]
+    ok2 = jnp.take(okf, sel, axis=0) & sel_ok[:, None]
+    dup2 = _dup_earlier_mask(p2, ok2)  # [wn, k]
+
+    rank = jnp.cumsum(wide.astype(jnp.int32), axis=-1) - 1
+    in_sub = wide & (rank < wn)
+    back = jnp.take(dup2, jnp.clip(rank, 0, wn - 1), axis=0)  # [b, k]
+    pad = jnp.zeros((b, k - tier), dtype=bool)
+    dup1_full = jnp.concatenate([dup1, pad], axis=-1)
+    # wide game beyond the sub-batch: exact prefix + truncated tail
+    tail = jnp.concatenate(
+        [jnp.zeros((b, tier), bool), jnp.ones((b, k - tier), bool)], axis=-1
+    )
+    dropped = wide & ~in_sub
+    dup = jnp.where(
+        in_sub[:, None], back, jnp.where(dropped[:, None], dup1_full | tail, dup1_full)
+    )
+    return dup.reshape(*lead, k), dropped.reshape(*lead)
+
+
 def _dup_earlier_mask(packed: jax.Array, ok: jax.Array) -> jax.Array:
     """dup[i] = exists valid j < i with identical board.
 
@@ -270,18 +323,17 @@ def enumerate_nondoubles(
 
     # First-occurrence dedup — the reference's shared seen-set
     # (handle_move_types.py:196-221) — by exact pairwise board equality.
-    # A Pallas VMEM-resident variant exists (ops/dup_mask.py) but measured
-    # ~7ms SLOWER per step than this XLA einsum at [4096, 384] (both a
-    # per-game-loop and a fully batched kernel; see PERF.md) — keep it
-    # env-gated for future re-measurement on other toolchains.
-    import os
-
-    if jax.default_backend() == "cpu" or not os.environ.get("MLP_PALLAS_DEDUP"):
-        dup = _dup_earlier_mask(pack_board(after), kok)
+    # (A Pallas VMEM-resident variant was measured ~7ms slower than the XLA
+    # einsum and later stopped compiling on this Mosaic toolchain; removed.)
+    n_pre = _popcount(valid)
+    tier = cfg.nd_dedup_tier
+    tier_dropped = jnp.zeros_like(n_pre, dtype=bool)
+    if tier and tier < K:
+        dup, tier_dropped = _dup_two_tier(
+            pack_board(after), kok, n_pre, tier, cfg.nd_dedup_wide_div
+        )
     else:
-        from mlp_ppo_2ply_multi_tpu.ops.dup_mask import dup_earlier_pallas
-
-        dup = dup_earlier_pallas(pack_board(after), kok)
+        dup = _dup_earlier_mask(pack_board(after), kok)
     keep = kok & ~dup
 
     # max-submove filter AFTER dedup (generate_all_moves.py:69-90): if any
@@ -298,7 +350,7 @@ def enumerate_nondoubles(
     keep = keep & (rank <= cfg.a_max)
     # truncation observability: candidates lost to the dedup-slot cap or the
     # Q7 presented-action cap
-    overflow = (_popcount(valid) > K) | (pre_cap_total > cfg.a_max)
+    overflow = (n_pre > K) | (pre_cap_total > cfg.a_max) | tier_dropped
     return MoveSet(boards=after, valid=keep, count=_popcount(keep), overflow=overflow)
 
 

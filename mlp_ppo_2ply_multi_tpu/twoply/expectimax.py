@@ -113,8 +113,11 @@ def reply_movegen_cfg(cfg: Config) -> MoveGenConfig:
         # preserve candidates that the a_max cap then drops
         nd_dedup_k=min(cfg.movegen.nd_dedup_k, a),
         # the scorer evaluates each FIXED roll for every game — the iid-dice
-        # doubles sub-batch compaction would overflow on the 6 double rolls
+        # doubles sub-batch compaction would overflow on the 6 double rolls,
+        # and the two-tier dedup's wide-game fraction is roll-correlated for
+        # the same reason (a high nd roll widens EVERY game at once)
         dd_subbatch_div=0,
+        nd_dedup_tier=0,
     )
 
 
