@@ -111,17 +111,18 @@ class MoveGenConfig:
     # every game (the 2-ply scorer) must use 0 (full batch). Default 3 keeps
     # overflow probability ~30 sigma below ever happening at batch >= 1024.
     dd_subbatch_div: int = 3
-    # Canonical engine: when > 0, the non-doubles first-occurrence dedup runs
-    # two-tier (see movegen2._dup_two_tier): an exact pairwise pass over the
-    # first nd_dedup_tier compacted slots for every game, plus a full-width
-    # pass over a batch/nd_dedup_wide_div sub-batch of the games whose
-    # pre-dedup count exceeds the tier. Measured production count
-    # distribution: p50=14, P(count>96)=2.4% (PERF.md round 2), so
-    # tier 96 / div 8 gives ~40 sigma of sub-batch headroom at batch 4096;
-    # an overflow falls back to the exact tier prefix and is surfaced via
-    # MoveSet.overflow. 0 = single full-width pass.
-    nd_dedup_tier: int = 0
-    nd_dedup_wide_div: int = 8
+    # Canonical engine: when > 0, the whole non-doubles tail (candidate
+    # select, afterstate takes, dedup, filters — movegen2._nd_tail) runs
+    # two-tier: at width nd_tier for every game (exact when the pre-dedup
+    # count fits), plus a full nd_dedup_k-width pass over a
+    # batch/nd_wide_div sub-batch of the games whose pre-dedup count exceeds
+    # the tier. Measured production count distribution: p50=14,
+    # P(count>96)=2.4% (PERF.md round 2), so tier 96 / div 8 gives ~40 sigma
+    # of sub-batch headroom at batch 4096; an overflow keeps the exact
+    # tier-width prefix and is surfaced via MoveSet.overflow. 0 = single
+    # full-width pass.
+    nd_tier: int = 0
+    nd_wide_div: int = 8
 
     @classmethod
     def fast(cls) -> "MoveGenConfig":
@@ -139,7 +140,7 @@ class MoveGenConfig:
         overflow is no longer silent (MoveSet.overflow)."""
         return cls(
             w1=16, w2=96, w3=224, w4=448, a_max=448, nd_dedup_k=288,
-            dd_subbatch_div=4, nd_dedup_tier=96, nd_dedup_wide_div=8,
+            dd_subbatch_div=4, nd_tier=96, nd_wide_div=8,
         )
 
 
@@ -211,6 +212,14 @@ class TwoPlyConfig:
     small_double_cap: int = 50
     # Afterstate cap for opponent-reply enumeration inside the scorer.
     reply_a_max: int = 128
+    # Two-tier reply tail (MoveGenConfig.nd_tier applied to the scorer's
+    # fixed-roll enumeration). Unlike iid play dice, the wide-game fraction
+    # here is ROLL-CORRELATED — one scan iteration evaluates the same roll
+    # for every (game, candidate), and a high roll widens all of them at
+    # once — so the sub-batch divisor must cover the worst per-roll wide
+    # fraction (probe: scripts/probe_reply_widths.py). 0 disables.
+    reply_nd_tier: int = 0
+    reply_wide_div: int = 2
     # Rolls evaluated per scan iteration (folded into the batch axis).
     # Measured on v5e at B=1024: chunk 3 is ~7% SLOWER than 1 (the per-roll
     # program already fills the chip at rerank batch >= ~4k rows); raise it

@@ -190,11 +190,9 @@ class _Pass(NamedTuple):
     single_valid: jax.Array
 
 
-def _run_pass(board: Board, player, d_first, d_second) -> _Pass:
-    s1 = slot_table(board, player, d_first)
-    b27 = board_expand(board, N_SLOTS)
+def _run_pass_pre(s1: SlotTable, b1: Board, player, d_second) -> _Pass:
+    """Pass from a precomputed first-die slot table + children (die_tables)."""
     p27 = player[..., None]
-    b1 = apply_submove(b27, p27, s1.start, s1.end, s1.hits, s1.valid)
     s2 = slot_table(b1, p27, d_second[..., None])
     pair_valid = s1.valid[..., None] & s2.valid
     any_pair = jnp.any(pair_valid, axis=(-1, -2))
@@ -202,57 +200,87 @@ def _run_pass(board: Board, player, d_first, d_second) -> _Pass:
     return _Pass(s1, b1, s2, pair_valid, any_pair, single_valid)
 
 
-def _dup_two_tier(
-    packed: jax.Array,
-    ok: jax.Array,
-    count: jax.Array,
-    tier: int,
-    div: int,
-) -> Tuple[jax.Array, jax.Array]:
-    """Two-tier first-occurrence dup mask (MoveGenConfig.nd_dedup_tier).
+def _run_pass(board: Board, player, d_first, d_second) -> _Pass:
+    s1 = slot_table(board, player, d_first)
+    b27 = board_expand(board, N_SLOTS)
+    p27 = player[..., None]
+    b1 = apply_submove(b27, p27, s1.start, s1.end, s1.hits, s1.valid)
+    return _run_pass_pre(s1, b1, player, d_second)
 
-    The pairwise Gram dedup materializes an O(B*K^2) f32 intermediate; at the
-    production widths that is the single largest HBM stream in the step while
-    the median decision has ~14 pre-dedup candidates (PERF.md round 2).
-    Tier 1 runs the pairwise test on the first ``tier`` compacted slots of
-    every game — EXACT for any slot i < tier because dup[i] only references
-    earlier slots j < i, regardless of the game's total count. Tier 2 gathers
-    games with count > tier into a batch/div sub-batch deduplicated at full
-    width. A wide game beyond the sub-batch capacity keeps its tier-1 prefix
-    and drops slots >= tier — the same surfaced-truncation class as the Q7
-    cap (returned as the second element, ORed into MoveSet.overflow).
-    """
-    *lead, k, c = packed.shape
-    b = 1
-    for d in lead:
-        b *= d
-    p = packed.reshape(b, k, c)
-    okf = ok.reshape(b, k)
-    cnt = count.reshape(b)
 
-    dup1 = _dup_earlier_mask(p[:, :tier], okf[:, :tier])  # [b, tier]
+def die_tables(board: Board, player: jax.Array) -> Tuple[SlotTable, Board]:
+    """First-ply slot tables and children boards for ALL SIX die values in
+    one batched pass: SlotTable fields [6, ..., 27], children [6, ..., 27].
 
-    wide = cnt > tier
-    wn = max(8, b // div)
-    sel, sel_ok = _select_set_bits(wide, wn)  # [wn]
-    p2 = jnp.take(p, sel, axis=0)  # [wn, k, c]
-    ok2 = jnp.take(okf, sel, axis=0) & sel_ok[:, None]
-    dup2 = _dup_earlier_mask(p2, ok2)  # [wn, k]
+    The 2-ply scorer evaluates 15 fixed non-double rolls per decision; naive
+    per-roll enumeration recomputes the first die's single-die expansion 30
+    times (15 rolls x 2 pass orders) when only 6 distinct (die -> slot table,
+    children) results exist. Computing them once and gathering per roll
+    removes 24/30 of the first-ply expansion work (PERF.md round 2)."""
+    dies = jnp.arange(1, 7, dtype=jnp.int32)
+    bs = board.batch_shape
+    b6 = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (6, *a.shape)), board)
+    p6 = jnp.broadcast_to(player, (6, *bs))
+    d6 = jnp.broadcast_to(dies.reshape(6, *([1] * len(bs))), (6, *bs))
+    s1 = slot_table(b6, p6, d6)
+    b27 = board_expand(b6, N_SLOTS)
+    b1 = apply_submove(b27, p6[..., None], s1.start, s1.end, s1.hits, s1.valid)
+    return s1, b1
 
-    rank = jnp.cumsum(wide.astype(jnp.int32), axis=-1) - 1
-    in_sub = wide & (rank < wn)
-    back = jnp.take(dup2, jnp.clip(rank, 0, wn - 1), axis=0)  # [b, k]
-    pad = jnp.zeros((b, k - tier), dtype=bool)
-    dup1_full = jnp.concatenate([dup1, pad], axis=-1)
-    # wide game beyond the sub-batch: exact prefix + truncated tail
-    tail = jnp.concatenate(
-        [jnp.zeros((b, tier), bool), jnp.ones((b, k - tier), bool)], axis=-1
+
+def _nd_tail(
+    b1a: Board,
+    b1b: Board,
+    valid: jax.Array,
+    player: jax.Array,
+    d_hi: jax.Array,
+    d_lo: jax.Array,
+    K: int,
+    a_max: int,
+) -> Tuple[Board, jax.Array, jax.Array]:
+    """The width-K back half of non-doubles enumeration: compact the valid
+    candidate cells, materialize afterstates, first-occurrence dedup,
+    max-submove filter, Q7 cap. Exact for any game whose pre-dedup candidate
+    count is <= K. Returns (afterstates [..., K], keep mask, pre-cap survivor
+    total)."""
+    valid2 = valid.reshape(*valid.shape[:-1], 2 * (N_SLOTS + 1), N_SLOTS)
+    blk, loc, kok, _ = _select_set_bits_blocked(valid2, K)
+    cpass = (blk >= N_SLOTS + 1).astype(jnp.int32)
+    bb = blk - cpass * (N_SLOTS + 1)
+    is_pair = bb < N_SLOTS
+    ci = jnp.where(is_pair, bb, loc)
+    cj = jnp.where(is_pair, loc, -1)
+
+    first = board_where(
+        cpass == 0, board_take_onehot(b1a, ci), board_take_onehot(b1b, ci)
     )
-    dropped = wide & ~in_sub
-    dup = jnp.where(
-        in_sub[:, None], back, jnp.where(dropped[:, None], dup1_full | tail, dup1_full)
-    )
-    return dup.reshape(*lead, k), dropped.reshape(*lead)
+
+    # second-submove parameters recomputed arithmetically on the gathered
+    # first-ply boards; compacted cells are valid by construction, so the
+    # application mask is just kok & "is a pair".
+    d_second = jnp.where(cpass == 0, d_lo[..., None], d_hi[..., None])
+    s2, e2, h2 = slot_params(first, player[..., None], d_second, jnp.maximum(cj, 0))
+    app = kok & (cj >= 0)
+    after = apply_submove(first, player[..., None], s2, e2, h2, app)
+
+    # First-occurrence dedup — the reference's shared seen-set
+    # (handle_move_types.py:196-221) — by exact pairwise board equality.
+    dup = _dup_earlier_mask(pack_board(after), kok)
+    keep = kok & ~dup
+
+    # max-submove filter AFTER dedup (generate_all_moves.py:69-90): if any
+    # surviving candidate is a 2-submove pair, all singles drop.
+    kpair = cj >= 0
+    has_pair = jnp.any(keep & kpair, axis=-1)
+    keep = keep & (kpair | ~has_pair[..., None])
+
+    # Q7 cap in survivor-rank order, but NO final compaction gather (a
+    # [4096, 512]-row gather measured 82ms): the move set keeps width K with
+    # a non-contiguous valid mask.
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1)
+    pre_cap_total = rank[..., -1]
+    keep = keep & (rank <= a_max)
+    return after, keep, pre_cap_total
 
 
 def _dup_earlier_mask(packed: jax.Array, ok: jax.Array) -> jax.Array:
@@ -273,15 +301,24 @@ def _dup_earlier_mask(packed: jax.Array, ok: jax.Array) -> jax.Array:
 
 
 def enumerate_nondoubles(
-    board: Board, player: jax.Array, dice: jax.Array, cfg: MoveGenConfig
+    board: Board,
+    player: jax.Array,
+    dice: jax.Array,
+    cfg: MoveGenConfig,
+    passes: Tuple[_Pass, _Pass] = None,
 ) -> MoveSet:
     """Sortless non-doubles enumeration; exact reference order
-    (generate_all_moves.py:25-53)."""
+    (generate_all_moves.py:25-53). ``passes`` supplies precomputed
+    (high-first, low-first) passes built from shared die_tables (the 2-ply
+    scorer's fixed-roll fan-out)."""
     d_hi = jnp.maximum(dice[..., 0], dice[..., 1]).astype(jnp.int32)
     d_lo = jnp.minimum(dice[..., 0], dice[..., 1]).astype(jnp.int32)
 
-    pa = _run_pass(board, player, d_hi, d_lo)
-    pb = _run_pass(board, player, d_lo, d_hi)
+    if passes is None:
+        pa = _run_pass(board, player, d_hi, d_lo)
+        pb = _run_pass(board, player, d_lo, d_hi)
+    else:
+        pa, pb = passes
 
     # reverse-order skip (generate_all_moves.py:40-50): within-pass singles
     # are always distinct, so "one unique single move" == popcount 1.
@@ -294,63 +331,72 @@ def enumerate_nondoubles(
         [flat2(pa.pair_valid), pa.single_valid, flat2(pvB), svB], axis=-1
     )
 
-    # Compact valid candidates (order preserved == insertion order) and
-    # materialize their afterstate boards. Candidate index -> (pass, i, j) is
-    # closed-form arithmetic (table gathers measured ~17ms each at B=4096).
+    # Back half: compact valid candidates (order preserved == insertion
+    # order), materialize afterstates, dedup + filters. Candidate index ->
+    # (pass, i, j) is closed-form arithmetic inside _nd_tail (table gathers
+    # measured ~17ms each at B=4096). Blocked select over the natural 27-wide
+    # structure: blocks 0..26 are pass-A pairs (block = first slot i, local =
+    # second slot j), block 27 is pass-A singles (local = i), blocks 28..54
+    # pass-B pairs, 55 B singles.
     K = cfg.nd_dedup_k
-    # Blocked select over the natural 27-wide structure: blocks 0..26 are
-    # pass-A pairs (block = first slot i, local = second slot j), block 27 is
-    # pass-A singles (local = i), blocks 28..54 pass-B pairs, 55 B singles.
-    valid2 = valid.reshape(*valid.shape[:-1], 2 * (N_SLOTS + 1), N_SLOTS)
-    blk, loc, kok, _ = _select_set_bits_blocked(valid2, K)
-    cpass = (blk >= N_SLOTS + 1).astype(jnp.int32)
-    bb = blk - cpass * (N_SLOTS + 1)
-    is_pair = bb < N_SLOTS
-    ci = jnp.where(is_pair, bb, loc)
-    cj = jnp.where(is_pair, loc, -1)
-
-    first = board_where(
-        cpass == 0, board_take_onehot(pa.b1, ci), board_take_onehot(pb.b1, ci)
-    )
-
-    # second-submove parameters recomputed arithmetically on the gathered
-    # first-ply boards; compacted cells are valid by construction, so the
-    # application mask is just kok & "is a pair".
-    d_second = jnp.where(cpass == 0, d_lo[..., None], d_hi[..., None])
-    s2, e2, h2 = slot_params(first, player[..., None], d_second, jnp.maximum(cj, 0))
-    app = kok & (cj >= 0)
-    after = apply_submove(first, player[..., None], s2, e2, h2, app)
-
-    # First-occurrence dedup — the reference's shared seen-set
-    # (handle_move_types.py:196-221) — by exact pairwise board equality.
-    # (A Pallas VMEM-resident variant was measured ~7ms slower than the XLA
-    # einsum and later stopped compiling on this Mosaic toolchain; removed.)
     n_pre = _popcount(valid)
-    tier = cfg.nd_dedup_tier
-    tier_dropped = jnp.zeros_like(n_pre, dtype=bool)
-    if tier and tier < K:
-        dup, tier_dropped = _dup_two_tier(
-            pack_board(after), kok, n_pre, tier, cfg.nd_dedup_wide_div
+    T = cfg.nd_tier
+
+    if T and T < K and valid.ndim == 2:
+        # Two-tier tail (MoveGenConfig.nd_tier): every per-candidate-slot op
+        # of the tail — the width x n select, the one-hot board takes, the
+        # submove application, the O(K^2) dedup Gram, the filter cumsums —
+        # scales with K while the median decision has ~14 pre-dedup
+        # candidates and P(n_pre > 96) ~ 2-4% (PERF.md round 2). Tier 1 runs
+        # the whole tail at width T for every game, which is EXACT whenever
+        # n_pre <= T (all candidates present, identical order). Tier 2
+        # gathers the wide games into a batch/div sub-batch and runs the
+        # full-width tail there. A wide game beyond the sub-batch capacity
+        # keeps its tier-1 result (exact first-T prefix; its max-submove
+        # filter saw only the prefix) and is flagged via MoveSet.overflow —
+        # the same surfaced-truncation class as the Q7 cap.
+        n = valid.shape[0]
+        after_n, keep_n, pct_n = _nd_tail(
+            pa.b1, pb.b1, valid, player, d_hi, d_lo, T, cfg.a_max
         )
+        wide = n_pre > T
+        wn = max(8, n // cfg.nd_wide_div)
+        sel, sel_ok = _select_set_bits(wide, wn)
+        valid_w = jnp.take(valid, sel, axis=0) & sel_ok[:, None]
+        after_w, keep_w, pct_w = _nd_tail(
+            _flat_take0(pa.b1, sel),
+            _flat_take0(pb.b1, sel),
+            valid_w,
+            jnp.take(player, sel),
+            jnp.take(d_hi, sel),
+            jnp.take(d_lo, sel),
+            K,
+            cfg.a_max,
+        )
+        rank = jnp.cumsum(wide.astype(jnp.int32)) - 1
+        in_sub = wide & (rank < wn)
+        slot = jnp.clip(rank, 0, wn - 1)
+        pad = K - T
+        after = board_where(
+            in_sub[:, None],
+            _flat_take0(after_w, slot),
+            Board(data=jnp.pad(after_n.data, ((0, 0), (0, pad), (0, 0)))),
+        )
+        keep = jnp.where(
+            in_sub[:, None],
+            jnp.take(keep_w, slot, axis=0),
+            jnp.pad(keep_n, ((0, 0), (0, pad))),
+        )
+        pct = jnp.where(in_sub, jnp.take(pct_w, slot), pct_n)
+        dropped = wide & ~in_sub
+        overflow = (in_sub & ((n_pre > K) | (pct > cfg.a_max))) | dropped
     else:
-        dup = _dup_earlier_mask(pack_board(after), kok)
-    keep = kok & ~dup
-
-    # max-submove filter AFTER dedup (generate_all_moves.py:69-90): if any
-    # surviving candidate is a 2-submove pair, all singles drop.
-    kpair = cj >= 0
-    has_pair = jnp.any(keep & kpair, axis=-1)
-    keep = keep & (kpair | ~has_pair[..., None])
-
-    # Q7 cap in survivor-rank order, but NO final compaction gather (a
-    # [4096, 512]-row gather measured 82ms): the move set keeps width
-    # nd_dedup_k with a non-contiguous valid mask.
-    rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1)
-    pre_cap_total = rank[..., -1]
-    keep = keep & (rank <= cfg.a_max)
-    # truncation observability: candidates lost to the dedup-slot cap or the
-    # Q7 presented-action cap
-    overflow = (n_pre > K) | (pre_cap_total > cfg.a_max) | tier_dropped
+        after, keep, pct = _nd_tail(
+            pa.b1, pb.b1, valid, player, d_hi, d_lo, K, cfg.a_max
+        )
+        # truncation observability: candidates lost to the dedup-slot cap or
+        # the Q7 presented-action cap
+        overflow = (n_pre > K) | (pct > cfg.a_max)
     return MoveSet(boards=after, valid=keep, count=_popcount(keep), overflow=overflow)
 
 
@@ -422,11 +468,17 @@ def _expand(
 
 
 def enumerate_doubles(
-    board: Board, player: jax.Array, die: jax.Array, cfg: MoveGenConfig
+    board: Board,
+    player: jax.Array,
+    die: jax.Array,
+    cfg: MoveGenConfig,
+    s1: SlotTable = None,
 ) -> MoveSet:
     """Canonical doubles enumeration — zero sorts, zero dedup (see module
-    docstring for the uniqueness argument)."""
-    s1 = slot_table(board, player, die)
+    docstring for the uniqueness argument). ``s1`` supplies a precomputed
+    root slot table for this die (die_tables)."""
+    if s1 is None:
+        s1 = slot_table(board, player, die)
     root_cc = _popcount(s1.valid)
     idx1, ok1 = _select_set_bits(s1.valid, cfg.w1)
     b0 = board_expand(board, cfg.w1)
@@ -530,29 +582,40 @@ def _unflatten_moveset(ms: MoveSet, batch_shape) -> MoveSet:
 
 
 def enumerate_nondoubles_batched(
-    board: Board, player: jax.Array, dice: jax.Array, cfg: MoveGenConfig
+    board: Board,
+    player: jax.Array,
+    dice: jax.Array,
+    cfg: MoveGenConfig,
+    passes: Tuple[_Pass, _Pass] = None,
 ) -> MoveSet:
     """enumerate_nondoubles over an arbitrary batch shape (player/dice may
     broadcast); used by the 2-ply scorer's fixed non-double rolls."""
     bs = board.batch_shape
     n = int(np.prod(bs)) if bs else 1
-    fb = jax.tree.map(lambda a: a.reshape(n, *a.shape[len(bs):]), board)
+    flat = lambda t: jax.tree.map(lambda a: a.reshape(n, *a.shape[len(bs):]), t)
+    fb = flat(board)
     fp = jnp.broadcast_to(player, bs).reshape(n)
     fd = jnp.broadcast_to(dice, (*bs, 2)).reshape(n, 2)
-    return _unflatten_moveset(enumerate_nondoubles(fb, fp, fd, cfg), bs)
+    fpasses = None if passes is None else (flat(passes[0]), flat(passes[1]))
+    return _unflatten_moveset(enumerate_nondoubles(fb, fp, fd, cfg, fpasses), bs)
 
 
 def enumerate_doubles_batched(
-    board: Board, player: jax.Array, die: jax.Array, cfg: MoveGenConfig
+    board: Board,
+    player: jax.Array,
+    die: jax.Array,
+    cfg: MoveGenConfig,
+    s1: SlotTable = None,
 ) -> MoveSet:
     """enumerate_doubles over an arbitrary batch shape, padded to the same
     output width as the non-doubles path so scan carries stay uniform."""
     bs = board.batch_shape
     n = int(np.prod(bs)) if bs else 1
-    fb = jax.tree.map(lambda a: a.reshape(n, *a.shape[len(bs):]), board)
+    flat = lambda t: jax.tree.map(lambda a: a.reshape(n, *a.shape[len(bs):]), t)
+    fb = flat(board)
     fp = jnp.broadcast_to(player, bs).reshape(n)
     fd = jnp.broadcast_to(die, bs).reshape(n).astype(jnp.int32)
-    ms = enumerate_doubles(fb, fp, fd, cfg)
+    ms = enumerate_doubles(fb, fp, fd, cfg, None if s1 is None else flat(s1))
     width = max(cfg.a_max, cfg.nd_dedup_k)
     p = width - ms.valid.shape[-1]
     if p > 0:

@@ -113,11 +113,13 @@ def reply_movegen_cfg(cfg: Config) -> MoveGenConfig:
         # preserve candidates that the a_max cap then drops
         nd_dedup_k=min(cfg.movegen.nd_dedup_k, a),
         # the scorer evaluates each FIXED roll for every game — the iid-dice
-        # doubles sub-batch compaction would overflow on the 6 double rolls,
-        # and the two-tier dedup's wide-game fraction is roll-correlated for
-        # the same reason (a high nd roll widens EVERY game at once)
+        # doubles sub-batch compaction would overflow on the 6 double rolls
         dd_subbatch_div=0,
-        nd_dedup_tier=0,
+        # reply-tail tiering: the wide fraction is roll-correlated (a high
+        # nd roll widens EVERY (game, candidate) in the same scan iteration),
+        # so the divisor is the scorer's own conservative reply_wide_div
+        nd_tier=cfg.twoply.reply_nd_tier,
+        nd_wide_div=cfg.twoply.reply_wide_div,
     )
 
 
@@ -171,6 +173,13 @@ def weighted_opponent_response(
         lambda a: jnp.broadcast_to(a[None], (c, *a.shape)), boards
     )
 
+    # Shared first-ply expansion: the 15 fixed nd rolls need only 6 distinct
+    # (first die -> slot table, children) results, not 30 (movegen2
+    # .die_tables); each scan iteration gathers its two dies from the [6]
+    # axis. The doubles scan reuses the root tables as its level-1 input.
+    s1_all, b1_all = movegen2.die_tables(boards, opp_k)
+    take_die = lambda t, i: jax.tree.map(lambda a: jnp.take(a, i, axis=0), t)
+
     def chunks(*arrs):
         """Stack roll-constant arrays into scan chunks of C; the last chunk
         is padded with repeats of its final roll whose probability (always
@@ -198,14 +207,29 @@ def weighted_opponent_response(
         dice = jnp.broadcast_to(
             rolls_c[:, None, None, :], (c, *batch_shape, 2)
         )
-        ms = movegen2.enumerate_nondoubles_batched(bc, opp_k[None], dice, mg)
+        hi = jnp.maximum(rolls_c[:, 0], rolls_c[:, 1]) - 1  # [C] die index
+        lo = jnp.minimum(rolls_c[:, 0], rolls_c[:, 1]) - 1
+        lead = (slice(None),) + (None,) * len(batch_shape)
+        d_hi = jnp.broadcast_to((hi + 1)[lead], (c, *batch_shape))
+        d_lo = jnp.broadcast_to((lo + 1)[lead], (c, *batch_shape))
+        pa = movegen2._run_pass_pre(
+            take_die(s1_all, hi), take_die(b1_all, hi), opp_k[None], d_lo
+        )
+        pb = movegen2._run_pass_pre(
+            take_die(s1_all, lo), take_die(b1_all, lo), opp_k[None], d_hi
+        )
+        ms = movegen2.enumerate_nondoubles_batched(
+            bc, opp_k[None], dice, mg, passes=(pa, pb)
+        )
         no_cap = jnp.zeros((c,), bool)
         return total + score_moveset(ms, probs_c, no_cap), None
 
     def per_dd(total, xs):
         dies_c, probs_c, small_c = xs
         die = jnp.broadcast_to(dies_c[:, None, None], (c, *batch_shape))
-        ms = movegen2.enumerate_doubles_batched(bc, opp_k[None], die, mg)
+        ms = movegen2.enumerate_doubles_batched(
+            bc, opp_k[None], die, mg, s1=take_die(s1_all, dies_c - 1)
+        )
         return total + score_moveset(ms, probs_c, small_c), None
 
     total, _ = jax.lax.scan(per_nd, init, (nd_rolls, nd_probs))

@@ -267,11 +267,11 @@ def test_blocked_select_matches_flat():
             assert bool(jnp.all(jnp.where(o0, i0, 0) == jnp.where(o1, i1, 0)))
 
 
-def test_nd_dedup_tier_matches_full():
-    """The two-tier nd dedup (nd_dedup_tier > 0) must produce identical move
-    sets to the single full-width pass on a mixed batch. tier=8 is far below
-    the typical candidate count, so both tiers (prefix-exact narrow pass and
-    the wide-game sub-batch) are exercised; wide_div=1 sizes the sub-batch to
+def test_nd_tier_matches_full():
+    """The two-tier nd tail (nd_tier > 0) must produce identical move sets
+    to the single full-width pass on a mixed batch. tier=8 is far below the
+    typical candidate count, so both tiers (exact narrow tail and the
+    wide-game sub-batch) are exercised; wide_div=1 sizes the sub-batch to
     the whole batch so nothing is ever truncated."""
     rng = random.Random(991)
     from mlp_ppo_2ply_multi_tpu.oracle import sampling
@@ -290,7 +290,7 @@ def test_nd_dedup_tier_matches_full():
     pl = jnp.asarray(players, jnp.int32)
     dc = jnp.asarray(dice, jnp.int32)
     cfg_tier = MoveGenConfig(
-        algo="canonical", dd_subbatch_div=0, nd_dedup_tier=8, nd_dedup_wide_div=1
+        algo="canonical", dd_subbatch_div=0, nd_tier=8, nd_wide_div=1
     )
     ms_t = jax.tree.map(np.asarray, jax.jit(
         lambda b, p, d: MG2.legal_moves(b, p, d, cfg_tier))(jb, pl, dc))
@@ -306,9 +306,11 @@ def test_nd_dedup_tier_matches_full():
             ), (g, k)
 
 
-def test_nd_dedup_tier_overflow_fallback():
-    """A wide game that misses the sub-batch must keep its exact tier prefix,
-    drop tail slots, and raise MoveSet.overflow (surfaced truncation)."""
+def test_nd_tier_overflow_fallback():
+    """A wide game that misses the sub-batch must keep its tier-width result
+    (exact first-T raw candidates through the tail) and raise
+    MoveSet.overflow (surfaced truncation); games that fit the tier or the
+    sub-batch must match the full-width pass exactly."""
     rng = random.Random(992)
     from mlp_ppo_2ply_multi_tpu.oracle import sampling
 
@@ -321,19 +323,22 @@ def test_nd_dedup_tier_overflow_fallback():
     dc = jnp.asarray(dice, jnp.int32)
     # tier=2 makes nearly every game "wide"; div forces wn=8 << #wide games
     cfg_tier = MoveGenConfig(
-        algo="canonical", dd_subbatch_div=0, nd_dedup_tier=2, nd_dedup_wide_div=64
+        algo="canonical", dd_subbatch_div=0, nd_tier=2, nd_wide_div=64
     )
     ms_t = jax.tree.map(np.asarray, jax.jit(
         lambda b, p, d: MG2.legal_moves(b, p, d, cfg_tier))(jb, pl, dc))
     ms_f = jax.tree.map(np.asarray, jax.jit(
         lambda b, p, d: MG2.legal_moves(b, p, d, CFG))(jb, pl, dc))
-    wide = ms_f.count > 2
-    n_wide = int(wide.sum())
-    assert n_wide > 8, "fixture must overflow the sub-batch"
-    assert ms_t.overflow.sum() >= n_wide - 8
+    n_dropped = int(ms_t.overflow.sum())
+    assert n_dropped > 0, "fixture must overflow the sub-batch"
     for g in range(n):
         if not ms_t.overflow[g]:
             assert int(ms_t.count[g]) == int(ms_f.count[g])
+            for k in range(int(ms_f.count[g])):
+                assert jax_board_to_tuple(ms_t.boards, g, k) == jax_board_to_tuple(
+                    ms_f.boards, g, k
+                ), (g, k)
         else:
-            # truncated, never inflated; surviving slots are a subset
-            assert int(ms_t.count[g]) <= int(ms_f.count[g])
+            # tier-width fallback: at most T survivors, never inflated
+            # beyond the full set
+            assert int(ms_t.count[g]) <= 2
