@@ -77,12 +77,14 @@ def build_config(args) -> Config:
     if args.production:
         # fast audit-validated movegen widths + bf16/fused-Pallas actor
         # forward (bench.py production_config); the LEARNER stays f32 — only
-        # the sampling path changes numerics class
+        # the sampling path changes numerics class. --full-widths keeps the
+        # parity enumeration widths under the production model config — the
+        # control arm of the fast-vs-full quality experiment (RESULTS.md).
         from mlp_ppo_2ply_multi_tpu.core.config import ModelConfig
 
         cfg = dataclasses.replace(
             cfg,
-            movegen=MoveGenConfig.fast(),
+            movegen=MoveGenConfig() if args.full_widths else MoveGenConfig.fast(),
             model=ModelConfig(
                 dtype="bfloat16", fused_actor_kernel=True, actor_tier_width=96
             ),
@@ -274,6 +276,9 @@ def main(argv=None) -> int:
     ap.add_argument("--production", action="store_true",
                     help="fast movegen widths + bf16 fused actor forward "
                          "(peak throughput; learner stays f32)")
+    ap.add_argument("--full-widths", action="store_true",
+                    help="with --production: keep the full parity movegen "
+                         "widths (fast-vs-full quality control arm)")
     ap.add_argument("--remote-dir", default=None,
                     help="fsspec URI (gs://..., memory://...) mirrored with "
                          "metrics and checkpoints — the reference's S3 "

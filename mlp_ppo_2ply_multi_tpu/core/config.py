@@ -126,12 +126,15 @@ class MoveGenConfig:
 
     @classmethod
     def fast(cls) -> "MoveGenConfig":
-        """Reduced widths for production throughput, sized ~2x above the
-        maxima observed over randomized play audits (scripts/audit_widths.py:
-        pre-dedup non-doubles max 175, cap 288 = 1.6x; doubles levels max
-        [9, 42, 139, 373] of [16, 96, 224, 448]). Positions beyond these
-        widths lose their highest-rank candidates — the same truncation
-        class as the reference's own 500-move cap (Q7). a_max == w4: the
+        """Reduced widths for production throughput, sized above the maxima
+        observed in randomized play (scripts/audit_widths.py, 1000 games +
+        4000 synthetic adversarial positions = 105k decisions: randomized
+        pre-dedup non-doubles max 214 < cap 288; doubles levels max
+        [11, 60, 224, 653] of [16, 96, 224, 448] — only SYNTHETIC max-race
+        positions exceed w3/w4). Positions beyond these widths lose their
+        highest-rank candidates — the same truncation class as the
+        reference's own 500-move cap (Q7) — and every such event is counted
+        (MoveSet.overflow -> metrics width_overflow_count). a_max == w4: the
         level-4 doubles frontier (the widest source) has only w4 slots, so a
         larger presented-action axis can never fill and is pure padding.
 

@@ -1,0 +1,103 @@
+"""Round-2 TPU bench sweep: measure the two-tier nd tail and the 2-ply
+shared die tables immediately when the tunnel returns.
+
+Each variant is one jitted production rollout step driven from Python
+(bench.py methodology; inputs varied per call — the tunnel memoizes
+identical dispatches). Prints one JSON line per variant.
+
+Usage: python scripts/bench_r2_sweep.py [--batch 4096] [--steps 30] \
+          [--variants prod,tier0,twoply,twoply_tier] [--twoply-batch 1024]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import production_config
+from mlp_ppo_2ply_multi_tpu.core.config import Config, TwoPlyConfig
+from mlp_ppo_2ply_multi_tpu.actor import rollout as actor
+from mlp_ppo_2ply_multi_tpu.env import vec_env
+from mlp_ppo_2ply_multi_tpu.learner import td
+
+
+def bench_rollout(cfg: Config, batch: int, steps: int, warmup: int) -> float:
+    key = jax.random.PRNGKey(0)
+    params = td.init_train_state(key, cfg).params
+    state = vec_env.reset(jax.random.fold_in(key, 1), batch)
+    temp = td.temperature(jnp.zeros((), jnp.int32), cfg)
+
+    @jax.jit
+    def step(state, key):
+        new_state, _ = actor.rollout_step(
+            params, state, key, temp, cfg, continuous=True
+        )
+        return new_state
+
+    keys = jax.random.split(jax.random.PRNGKey(1), warmup + steps)
+    for i in range(warmup):
+        state = step(state, keys[i])
+    np.asarray(state.board.data)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state = step(state, keys[warmup + i])
+    np.asarray(state.board.data)
+    return batch * steps / (time.perf_counter() - t0)
+
+
+def variant_cfg(name: str) -> Config:
+    cfg = production_config()
+    if name == "prod":
+        return cfg
+    if name == "tier0":
+        import dataclasses
+
+        return cfg.replace(movegen=dataclasses.replace(cfg.movegen, nd_tier=0))
+    if name == "twoply":
+        return cfg.replace(twoply=TwoPlyConfig(enabled=True))
+    if name == "twoply_tier":
+        return cfg.replace(
+            twoply=TwoPlyConfig(enabled=True, reply_nd_tier=96, reply_wide_div=2)
+        )
+    raise SystemExit(f"unknown variant {name}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--twoply-batch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--twoply-steps", type=int, default=8)
+    ap.add_argument("--variants", default="prod,tier0,twoply,twoply_tier")
+    args = ap.parse_args()
+
+    for name in args.variants.split(","):
+        cfg = variant_cfg(name)
+        two = name.startswith("twoply")
+        b = args.twoply_batch if two else args.batch
+        s = args.twoply_steps if two else args.steps
+        t0 = time.perf_counter()
+        rate = bench_rollout(cfg, b, s, warmup=3 if two else 8)
+        print(
+            json.dumps(
+                {
+                    "variant": name,
+                    "batch": b,
+                    "env_steps_per_s": round(rate, 1),
+                    "wall_s": round(time.perf_counter() - t0, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
