@@ -123,6 +123,16 @@ class MoveGenConfig:
     # full-width pass.
     nd_tier: int = 0
     nd_wide_div: int = 8
+    # Two-tier doubles expansion inside legal_moves' compacted sub-batch:
+    # when non-empty, (t2, t3, t4) narrow level widths run for EVERY doubles
+    # game (exact whenever no level overflows — every _expand reports
+    # n_children > width BEFORE truncating), and games flagged by the narrow
+    # run's MoveSet.overflow re-run at the full w2/w3/w4 on a
+    # sub_batch/dd_wide_div sub-sub-batch. A wide game beyond that capacity
+    # keeps the narrow result and stays overflow-flagged. () = single
+    # full-width chain. Size from scripts/probe_dd_widths.py.
+    dd_tier: Tuple[int, int, int] = ()
+    dd_wide_div: int = 8
 
     @classmethod
     def fast(cls) -> "MoveGenConfig":

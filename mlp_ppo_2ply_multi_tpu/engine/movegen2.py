@@ -628,6 +628,54 @@ def enumerate_doubles_batched(
     return _unflatten_moveset(ms, bs)
 
 
+def _doubles_two_tier(
+    board: Board,
+    player: jax.Array,
+    die: jax.Array,
+    ok: jax.Array,
+    cfg: MoveGenConfig,
+) -> MoveSet:
+    """Two-tier doubles expansion (MoveGenConfig.dd_tier) over an already
+    compacted [W] doubles sub-batch.
+
+    Tier 1 runs the full canonical chain at the narrow (t2, t3, t4) level
+    widths for every game. _expand reports n_children > width BEFORE
+    truncating (and the root select's shortfall is root_cc > w1), so the
+    narrow run's MoveSet.overflow is exactly "this game needed more than the
+    narrow widths" — those games re-run at the full w2/w3/w4 on a W/div
+    sub-sub-batch (tier 2). A wide game beyond that capacity keeps the
+    narrow result and stays overflow-flagged — the same surfaced-truncation
+    class as the nd tier and the Q7 cap."""
+    import dataclasses
+
+    t2, t3, t4 = cfg.dd_tier
+    ncfg = dataclasses.replace(
+        cfg, w2=t2, w3=t3, w4=t4, a_max=min(cfg.a_max, t4)
+    )
+    narrow = enumerate_doubles(board, player, die, ncfg)
+
+    wide = narrow.overflow & ok
+    w = ok.shape[0]
+    wn = max(8, w // cfg.dd_wide_div)
+    sel, sel_ok = _select_set_bits(wide, wn)
+    wsub = enumerate_doubles(
+        _flat_take0(board, sel), jnp.take(player, sel), jnp.take(die, sel), cfg
+    )
+
+    pad = wsub.valid.shape[-1] - narrow.valid.shape[-1]
+    nb = Board(data=jnp.pad(narrow.boards.data, ((0, 0), (0, pad), (0, 0))))
+    nv = jnp.pad(narrow.valid, ((0, 0), (0, pad)))
+    rank = jnp.cumsum(wide.astype(jnp.int32)) - 1
+    in_sub = wide & (rank < wn)
+    slot = jnp.clip(rank, 0, wn - 1)
+    return MoveSet(
+        boards=board_where(in_sub[:, None], _flat_take0(wsub.boards, slot), nb),
+        valid=jnp.where(in_sub[:, None], jnp.take(wsub.valid, slot, axis=0), nv),
+        count=jnp.where(in_sub, jnp.take(wsub.count, slot), narrow.count),
+        overflow=jnp.where(in_sub, jnp.take(wsub.overflow, slot), narrow.overflow),
+    )
+
+
 def legal_moves(
     board: Board, player: jax.Array, dice: jax.Array, cfg: MoveGenConfig
 ) -> MoveSet:
@@ -657,12 +705,13 @@ def legal_moves(
     else:
         w_dd = max(8, -(-n // cfg.dd_subbatch_div))
         sel_idx, sel_ok = _select_set_bits(is_double, w_dd)
-        sub = enumerate_doubles(
-            _flat_take0(fboard, sel_idx),
-            jnp.take(fplayer, sel_idx),
-            jnp.take(fdice[:, 0].astype(jnp.int32), sel_idx),
-            cfg,
-        )
+        sub_board = _flat_take0(fboard, sel_idx)
+        sub_player = jnp.take(fplayer, sel_idx)
+        sub_die = jnp.take(fdice[:, 0].astype(jnp.int32), sel_idx)
+        if cfg.dd_tier:
+            sub = _doubles_two_tier(sub_board, sub_player, sub_die, sel_ok, cfg)
+        else:
+            sub = enumerate_doubles(sub_board, sub_player, sub_die, cfg)
         sub_valid = sub.valid & sel_ok[:, None]
         raw_slot = jnp.cumsum(is_double.astype(jnp.int32)) - 1
         # overflow guard: a game beyond the sub-batch width presents zero

@@ -342,3 +342,92 @@ def test_nd_tier_overflow_fallback():
             # tier-width fallback: at most T survivors, never inflated
             # beyond the full set
             assert int(ms_t.count[g]) <= 2
+
+
+def test_dd_tier_matches_full():
+    """The two-tier doubles expansion (dd_tier non-empty) must produce
+    identical move sets to the full-width chain. Narrow widths (8, 8, 8)
+    sit far below the level maxima so both tiers are exercised;
+    dd_wide_div=1 sizes the sub-sub-batch to the whole doubles sub-batch so
+    nothing is ever truncated. n=128 > 64 engages the sub-batch path in
+    both configs (dd_subbatch_div=1: every game gets a slot)."""
+    rng = random.Random(993)
+    from mlp_ppo_2ply_multi_tpu.oracle import sampling
+
+    n = 128
+    boards = [sampling.random_board(rng) for _ in range(n)]
+    players = [rng.randint(0, 1) for _ in range(n)]
+    # ~1/2 doubles so the sub-batch fills both board kinds
+    dice = []
+    for _ in range(n):
+        if rng.random() < 0.5:
+            d = rng.randint(1, 6)
+            dice.append((d, d))
+        else:
+            a, b = rng.randint(1, 6), rng.randint(1, 6)
+            while a == b:
+                a, b = rng.randint(1, 6), rng.randint(1, 6)
+            dice.append((a, b))
+    jb = boards_to_jax(boards)
+    pl = jnp.asarray(players, jnp.int32)
+    dc = jnp.asarray(dice, jnp.int32)
+    cfg_full = MoveGenConfig(algo="canonical", dd_subbatch_div=1)
+    cfg_tier = MoveGenConfig(
+        algo="canonical", dd_subbatch_div=1, dd_tier=(8, 8, 8), dd_wide_div=1
+    )
+    ms_t = jax.tree.map(np.asarray, jax.jit(
+        lambda b, p, d: MG2.legal_moves(b, p, d, cfg_tier))(jb, pl, dc))
+    ms_f = jax.tree.map(np.asarray, jax.jit(
+        lambda b, p, d: MG2.legal_moves(b, p, d, cfg_full))(jb, pl, dc))
+    np.testing.assert_array_equal(ms_t.count, ms_f.count)
+    for g in range(n):
+        # identical surviving boards in identical slot order (both runs use
+        # the canonical chain; tier-2 games re-run the full-width chain)
+        vt = np.flatnonzero(ms_t.valid[g])
+        vf = np.flatnonzero(ms_f.valid[g])
+        assert len(vt) == len(vf), g
+        for kt, kf in zip(vt, vf):
+            assert jax_board_to_tuple(ms_t.boards, g, int(kt)) == (
+                jax_board_to_tuple(ms_f.boards, g, int(kf))
+            ), (g, kt, kf)
+
+
+def test_dd_tier_overflow_fallback():
+    """A doubles game that overflows the narrow widths AND misses the
+    sub-sub-batch keeps its narrow-width result and stays overflow-flagged;
+    games that fit either tier must match the full-width chain."""
+    rng = random.Random(994)
+    from mlp_ppo_2ply_multi_tpu.oracle import sampling
+
+    n = 128
+    boards = [sampling.random_board(rng) for _ in range(n)]
+    players = [rng.randint(0, 1) for _ in range(n)]
+    dice = [(rng.randint(1, 6),) * 2 for _ in range(n)]  # all doubles
+    jb = boards_to_jax(boards)
+    pl = jnp.asarray(players, jnp.int32)
+    dc = jnp.asarray(dice, jnp.int32)
+    cfg_full = MoveGenConfig(algo="canonical", dd_subbatch_div=1)
+    # (2, 2, 2) makes most games wide; div=256 -> wn=8 << #wide games
+    cfg_tier = MoveGenConfig(
+        algo="canonical", dd_subbatch_div=1, dd_tier=(2, 2, 2), dd_wide_div=256
+    )
+    ms_t = jax.tree.map(np.asarray, jax.jit(
+        lambda b, p, d: MG2.legal_moves(b, p, d, cfg_tier))(jb, pl, dc))
+    ms_f = jax.tree.map(np.asarray, jax.jit(
+        lambda b, p, d: MG2.legal_moves(b, p, d, cfg_full))(jb, pl, dc))
+    assert int(ms_t.overflow.sum()) > 0, "fixture must overflow the sub-sub-batch"
+    n_exact = 0
+    for g in range(n):
+        if not ms_t.overflow[g]:
+            n_exact += 1
+            assert int(ms_t.count[g]) == int(ms_f.count[g]), g
+            vt = np.flatnonzero(ms_t.valid[g])
+            vf = np.flatnonzero(ms_f.valid[g])
+            for kt, kf in zip(vt, vf):
+                assert jax_board_to_tuple(ms_t.boards, g, int(kt)) == (
+                    jax_board_to_tuple(ms_f.boards, g, int(kf))
+                ), (g, kt, kf)
+        else:
+            # narrow fallback: never more survivors than the full set
+            assert int(ms_t.count[g]) <= int(ms_f.count[g]), g
+    assert n_exact > 0
