@@ -161,3 +161,39 @@ def test_roll_chunked_scorer_matches_unchunked():
             )
         )
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+
+
+def test_reply_tier_matches_untired():
+    """The two-tier reply tail (TwoPlyConfig.reply_nd_tier) must be exact
+    when the wide sub-batch covers every game (reply_wide_div=1): tier-1 is
+    exact for counts <= tier and every wider (game, candidate) re-runs at
+    full width, so the weighted opponent response is bit-identical to the
+    single-pass scorer."""
+    cfg0 = Config(
+        movegen=MoveGenConfig(algo="canonical", dd_subbatch_div=0),
+        twoply=TwoPlyConfig(enabled=True),
+    )
+    cfg_t = dataclasses.replace(
+        cfg0,
+        twoply=dataclasses.replace(
+            cfg0.twoply, reply_nd_tier=8, reply_wide_div=1
+        ),
+    )
+    params = td.init_train_state(jax.random.PRNGKey(0), cfg0).params
+    boards, players, _ = sample_cases(seed=77, n=6)
+    jb = boards_to_jax(boards)
+    jb_k = Board(data=jb.data[:, None])  # K=1 candidate axis
+    opp = jnp.asarray(players, jnp.int32)
+
+    f0 = jax.jit(
+        lambda p, b, o: expectimax.weighted_opponent_response(p, b, o, cfg0)
+    )
+    ft = jax.jit(
+        lambda p, b, o: expectimax.weighted_opponent_response(p, b, o, cfg_t)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ft(params, jb_k, opp)),
+        np.asarray(f0(params, jb_k, opp)),
+        rtol=0,
+        atol=0,
+    )
