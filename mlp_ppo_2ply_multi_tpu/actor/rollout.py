@@ -167,6 +167,47 @@ def _select_action_tiered(
     return action, wide & ~in_sub
 
 
+def _chosen_tiered(
+    params, state, tiered, key, temperature, cfg: Config
+) -> Tuple[jax.Array, jax.Array]:
+    """Sample a move per plane of a movegen2.Tiered set and return the
+    CHOSEN BOARD directly (vec_env.step_chosen consumes it; the merged
+    [B, A, 52] move tensor never exists). Same softmax(V/T) semantics as
+    select_action; the narrow plane needs no compaction — it IS the tier."""
+    from mlp_ppo_2ply_multi_tpu.ops.fused_value import fused_value
+
+    side0 = cfg.train.td_mode == "side0"
+    k1, k2 = jax.random.split(key)
+    v_obs = value_net.forward(
+        params, encode_board(state.board, state.player), cfg.model
+    )
+
+    # narrow plane: [B, T]
+    p = state.player
+    cand_flag = (1 - p) if side0 else p
+    v1 = fused_value(tiered.narrow_boards.data, cand_flag[..., None], params)
+    if side0:
+        v1 = v1 * jnp.where(p == 0, 1.0, -1.0)[..., None]
+    logits1 = jnp.where(tiered.narrow_valid, v1 / temperature, _NEG)
+    pick1 = jax.random.categorical(k1, logits1, axis=-1)
+    c1 = board_take_onehot(tiered.narrow_boards, pick1[..., None]).data[..., 0, :]
+
+    # wide plane: [Wb, A]
+    wp = tiered.wide_player
+    wflag = (1 - wp) if side0 else wp
+    v2 = fused_value(tiered.wide.boards.data, wflag[..., None], params)
+    if side0:
+        v2 = v2 * jnp.where(wp == 0, 1.0, -1.0)[..., None]
+    logits2 = jnp.where(tiered.wide.valid, v2 / temperature, _NEG)
+    pick2 = jax.random.categorical(k2, logits2, axis=-1)
+    c2 = board_take_onehot(tiered.wide.boards, pick2[..., None]).data[..., 0, :]
+
+    chosen = jnp.where(
+        tiered.in_wide[..., None], jnp.take(c2, tiered.wide_slot, axis=0), c1
+    )
+    return B.Board(data=chosen), v_obs
+
+
 def rollout_step(
     params,
     state: vec_env.EnvState,
@@ -176,20 +217,40 @@ def rollout_step(
     continuous: bool,
 ) -> Tuple[vec_env.EnvState, Transition]:
     k_act, k_roll, k_reset = jax.random.split(key, 3)
-    moves = legal_moves(state.board, state.player, state.dice, cfg.movegen)
-    tier_ov = jnp.zeros(state.player.shape, bool)
-    if cfg.twoply.enabled:
-        from mlp_ppo_2ply_multi_tpu.twoply.expectimax import select_action_2ply
-
-        action, v_obs = select_action_2ply(
-            params, state, moves, key=k_act, temperature=temperature, cfg=cfg
-        )
-    else:
-        action, v_obs, tier_ov = select_action(
-            params, state, moves, key=k_act, temperature=temperature, cfg=cfg
-        )
     next_dice = vec_env.roll_dice(k_roll, state.player.shape)
-    res = vec_env.step(state, moves, action, next_dice, cfg.env)
+    if cfg.movegen.tiered and not cfg.twoply.enabled:
+        assert cfg.model.fused_actor_kernel, "tiered pipeline needs the kernel"
+        from mlp_ppo_2ply_multi_tpu.engine import movegen2
+
+        tiered = movegen2.legal_moves_tiered(
+            state.board, state.player, state.dice, cfg.movegen
+        )
+        chosen, v_obs = _chosen_tiered(
+            params, state, tiered, k_act, temperature, cfg
+        )
+        res = vec_env.step_chosen(state, tiered.count, chosen, next_dice, cfg.env)
+        moves_count, moves_overflow = tiered.count, tiered.overflow
+        tier_ov = jnp.zeros(state.player.shape, bool)
+    else:
+        moves = legal_moves(state.board, state.player, state.dice, cfg.movegen)
+        tier_ov = jnp.zeros(state.player.shape, bool)
+        if cfg.twoply.enabled:
+            from mlp_ppo_2ply_multi_tpu.twoply.expectimax import select_action_2ply
+
+            action, v_obs = select_action_2ply(
+                params, state, moves, key=k_act, temperature=temperature, cfg=cfg
+            )
+        else:
+            action, v_obs, tier_ov = select_action(
+                params, state, moves, key=k_act, temperature=temperature, cfg=cfg
+            )
+        res = vec_env.step(state, moves, action, next_dice, cfg.env)
+        moves_count = moves.count
+        moves_overflow = (
+            moves.overflow
+            if moves.overflow is not None
+            else jnp.zeros_like(res.done)
+        )
 
     trunc = ~res.state.game_over & (res.state.step_count >= cfg.env.max_timesteps)
     t = Transition(
@@ -203,12 +264,8 @@ def rollout_step(
         win_type=res.win_type,
         close_out=res.close_out_bonus,
         prime=res.prime_bonus,
-        num_moves=moves.count,
-        overflow=tier_ov | (
-            moves.overflow
-            if moves.overflow is not None
-            else jnp.zeros_like(res.done)
-        ),
+        num_moves=moves_count,
+        overflow=tier_ov | moves_overflow,
     )
     new_state = res.state
     if continuous:

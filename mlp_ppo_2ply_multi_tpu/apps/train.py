@@ -89,6 +89,18 @@ def build_config(args) -> Config:
                 dtype="bfloat16", fused_actor_kernel=True, actor_tier_width=96
             ),
         )
+    if args.tiered:
+        # two-plane tiered pipeline (movegen2.legal_moves_tiered): the
+        # merged [B, a_max, 52] move tensor never materializes
+        cfg = dataclasses.replace(
+            cfg,
+            movegen=dataclasses.replace(
+                cfg.movegen,
+                tiered=True,
+                nd_tier=cfg.movegen.nd_tier or 96,
+                dd_tier=cfg.movegen.dd_tier or (48, 96, 96),
+            ),
+        )
     if args.max_timesteps is not None:
         cfg = dataclasses.replace(
             cfg, env=dataclasses.replace(cfg.env, max_timesteps=args.max_timesteps)
@@ -276,6 +288,9 @@ def main(argv=None) -> int:
     ap.add_argument("--production", action="store_true",
                     help="fast movegen widths + bf16 fused actor forward "
                          "(peak throughput; learner stays f32)")
+    ap.add_argument("--tiered", action="store_true",
+                    help="two-plane tiered movegen/actor pipeline (needs "
+                         "the fused kernel; implies production tier widths)")
     ap.add_argument("--full-widths", action="store_true",
                     help="with --production: keep the full parity movegen "
                          "widths (fast-vs-full quality control arm)")

@@ -133,6 +133,15 @@ class MoveGenConfig:
     # full-width chain. Size from scripts/probe_dd_widths.py.
     dd_tier: Tuple[int, int, int] = ()
     dd_wide_div: int = 8
+    # Tiered pipeline (movegen2.legal_moves_tiered + actor fast path): the
+    # legal-move set stays two-plane — narrow width-nd_tier plane for every
+    # game, full-fidelity legal_moves on a batch/tiered_wide_div sub-batch
+    # for the games the narrow enumeration flags — and the merged
+    # [B, a_max, 52] move tensor never materializes. Requires nd_tier,
+    # dd_tier and the fused actor kernel; 1-ply rollout only (the 2-ply
+    # scorer and parity paths keep the merged MoveSet).
+    tiered: bool = False
+    tiered_wide_div: int = 8
 
     @classmethod
     def fast(cls) -> "MoveGenConfig":

@@ -300,6 +300,37 @@ def _dup_earlier_mask(packed: jax.Array, ok: jax.Array) -> jax.Array:
     return jnp.any((d2 <= 0.0) & earlier & ok[..., None, :], axis=-1)
 
 
+def _nd_candidates(
+    board: Board,
+    player: jax.Array,
+    dice: jax.Array,
+    passes: Tuple[_Pass, _Pass] = None,
+):
+    """Front half of non-doubles enumeration: the two expansion passes and
+    the 1512-cell candidate validity bits in exact reference insertion order
+    (generate_all_moves.py:25-53), including the reverse-order skip
+    (:40-50 — within-pass singles are always distinct, so "one unique single
+    move" == popcount 1). Returns (pa, pb, valid, d_hi, d_lo)."""
+    d_hi = jnp.maximum(dice[..., 0], dice[..., 1]).astype(jnp.int32)
+    d_lo = jnp.minimum(dice[..., 0], dice[..., 1]).astype(jnp.int32)
+
+    if passes is None:
+        pa = _run_pass(board, player, d_hi, d_lo)
+        pb = _run_pass(board, player, d_lo, d_hi)
+    else:
+        pa, pb = passes
+
+    skip_b = (~pa.any_pair) & (_popcount(pa.single_valid) == 1)
+    pvB = pb.pair_valid & ~skip_b[..., None, None]
+    svB = pb.single_valid & ~skip_b[..., None]
+
+    flat2 = lambda a: a.reshape(*a.shape[:-2], N_SLOTS * N_SLOTS)
+    valid = jnp.concatenate(
+        [flat2(pa.pair_valid), pa.single_valid, flat2(pvB), svB], axis=-1
+    )
+    return pa, pb, valid, d_hi, d_lo
+
+
 def enumerate_nondoubles(
     board: Board,
     player: jax.Array,
@@ -311,25 +342,7 @@ def enumerate_nondoubles(
     (generate_all_moves.py:25-53). ``passes`` supplies precomputed
     (high-first, low-first) passes built from shared die_tables (the 2-ply
     scorer's fixed-roll fan-out)."""
-    d_hi = jnp.maximum(dice[..., 0], dice[..., 1]).astype(jnp.int32)
-    d_lo = jnp.minimum(dice[..., 0], dice[..., 1]).astype(jnp.int32)
-
-    if passes is None:
-        pa = _run_pass(board, player, d_hi, d_lo)
-        pb = _run_pass(board, player, d_lo, d_hi)
-    else:
-        pa, pb = passes
-
-    # reverse-order skip (generate_all_moves.py:40-50): within-pass singles
-    # are always distinct, so "one unique single move" == popcount 1.
-    skip_b = (~pa.any_pair) & (_popcount(pa.single_valid) == 1)
-    pvB = pb.pair_valid & ~skip_b[..., None, None]
-    svB = pb.single_valid & ~skip_b[..., None]
-
-    flat2 = lambda a: a.reshape(*a.shape[:-2], N_SLOTS * N_SLOTS)
-    valid = jnp.concatenate(
-        [flat2(pa.pair_valid), pa.single_valid, flat2(pvB), svB], axis=-1
-    )
+    pa, pb, valid, d_hi, d_lo = _nd_candidates(board, player, dice, passes)
 
     # Back half: compact valid candidates (order preserved == insertion
     # order), materialize afterstates, dedup + filters. Candidate index ->
@@ -749,3 +762,127 @@ def legal_moves(
         overflow=jnp.where(is_double, dd_overflow, nd.overflow),
     )
     return _unflatten_moveset(out, batch_shape)
+
+
+# ---------------------------------------------------------------------------
+# Tiered pipeline — the move set never materializes at full width
+# ---------------------------------------------------------------------------
+
+class Tiered(NamedTuple):
+    """Two-plane legal-move set (MoveGenConfig.tiered).
+
+    The merged full-width MoveSet costs several [B, a_max, 52] HBM streams
+    (pad + dd scatter + nd/dd merge) that exist only so the actor can
+    re-compact them back down to its tier width. Instead: a ``narrow`` plane
+    holds every game's enumeration at width T = nd_tier (EXACT for nd games
+    with n_pre <= T and dd games that fit the dd_tier widths — the measured
+    production distribution puts ~97% of decisions there), and the games the
+    narrow enumeration itself flags re-run through the ordinary full-width
+    ``legal_moves`` on a batch/tiered_wide_div sub-batch (``wide``). A
+    flagged game beyond the wide capacity keeps its narrow result and
+    surfaces in ``overflow`` — the same truncation class as the Q7 cap.
+    """
+
+    narrow_boards: Board  # [B, T]
+    narrow_valid: jax.Array  # bool[B, T] (non-contiguous survivor mask)
+    wide: MoveSet  # [Wb, >=a_max] full-fidelity sub-batch
+    wide_player: jax.Array  # int32[Wb] mover of each wide row
+    in_wide: jax.Array  # bool[B] game's result lives in the wide plane
+    wide_slot: jax.Array  # int32[B] row in the wide plane (clipped)
+    count: jax.Array  # int32[B]
+    overflow: jax.Array  # bool[B]
+
+
+def legal_moves_tiered(
+    board: Board, player: jax.Array, dice: jax.Array, cfg: MoveGenConfig
+) -> Tiered:
+    """Tiered dispatch over a flat [B] batch (iid dice). Requires nd_tier
+    and dd_tier configured; the wide plane runs the unsub-batched,
+    untired ``legal_moves`` so its rows are bit-identical to the parity
+    engine's output."""
+    import dataclasses
+
+    T = cfg.nd_tier
+    assert T and cfg.dd_tier, "legal_moves_tiered needs nd_tier and dd_tier"
+    t2, t3, t4 = cfg.dd_tier
+    assert t4 <= T, "dd_tier level-4 width must fit the narrow plane"
+    n = board.batch_shape[0]
+    is_dd = dice[:, 0] == dice[:, 1]
+
+    # ---- narrow nd: candidate front half + width-T tail for every game ----
+    pa, pb, valid, d_hi, d_lo = _nd_candidates(board, player, dice)
+    n_pre = _popcount(valid)
+    after_n, keep_n, _ = _nd_tail(
+        pa.b1, pb.b1, valid, player, d_hi, d_lo, T, cfg.a_max
+    )
+    nd_wide = ~is_dd & (n_pre > T)
+
+    # ---- narrow dd: compacted sub-batch chain at the dd_tier widths ----
+    w_dd = max(8, -(-n // cfg.dd_subbatch_div)) if cfg.dd_subbatch_div else n
+    seld, okd = _select_set_bits(is_dd, w_dd)
+    ncfg = dataclasses.replace(cfg, w2=t2, w3=t3, w4=t4, a_max=min(cfg.a_max, t4))
+    dnarrow = enumerate_doubles(
+        _flat_take0(board, seld),
+        jnp.take(player, seld),
+        jnp.take(dice[:, 0].astype(jnp.int32), seld),
+        ncfg,
+    )
+    pad_d = T - dnarrow.valid.shape[-1]
+    d_boards = Board(data=jnp.pad(dnarrow.boards.data, ((0, 0), (0, pad_d), (0, 0))))
+    d_valid = jnp.pad(dnarrow.valid & okd[:, None], ((0, 0), (0, pad_d)))
+    rank_d = jnp.cumsum(is_dd.astype(jnp.int32)) - 1
+    in_dd_sub = is_dd & (rank_d < w_dd)
+    slot_d = jnp.clip(rank_d, 0, w_dd - 1)
+
+    # ---- merge planes at width T (the ONLY [B, T, 52] materialization) ----
+    narrow_boards = board_where(
+        is_dd[:, None], _flat_take0(d_boards, slot_d), after_n
+    )
+    narrow_valid = jnp.where(
+        is_dd[:, None], jnp.take(d_valid, slot_d, axis=0) & in_dd_sub[:, None], keep_n
+    )
+    narrow_count = _popcount(narrow_valid)
+
+    # ---- wide plane: full-fidelity legal_moves on the flagged games ----
+    # a dd game needs it when its narrow chain overflowed the dd_tier widths
+    # OR it missed the dd sub-batch entirely (no narrow result at all)
+    wide_mask = nd_wide | (
+        is_dd & (~in_dd_sub | jnp.take(dnarrow.overflow, slot_d))
+    )
+    wb = max(8, n // cfg.tiered_wide_div)
+    selw, okw = _select_set_bits(wide_mask, wb)
+    wcfg = dataclasses.replace(cfg, dd_subbatch_div=0, nd_tier=0, dd_tier=())
+    wide_player = jnp.take(player, selw)
+    wide = legal_moves(
+        _flat_take0(board, selw), wide_player, _flat_take0(dice, selw), wcfg
+    )
+    wide = MoveSet(
+        boards=wide.boards,
+        valid=wide.valid & okw[:, None],
+        count=jnp.where(okw, wide.count, 0),
+        overflow=wide.overflow,
+    )
+    rank_w = jnp.cumsum(wide_mask.astype(jnp.int32)) - 1
+    in_wide = wide_mask & (rank_w < wb)
+    slot_w = jnp.clip(rank_w, 0, wb - 1)
+
+    count = jnp.where(in_wide, jnp.take(wide.count, slot_w), narrow_count)
+    # overflow: wide rows report the full program's own caps; narrow nd rows
+    # are exact by construction (n_pre <= T < a_max) and narrow dd rows fit
+    # their dd_tier widths; flagged games beyond the wide capacity are
+    # truncated to their narrow result (dd games that also missed the dd
+    # sub-batch present zero moves)
+    dropped = wide_mask & ~in_wide
+    overflow = (
+        jnp.where(in_wide, jnp.take(wide.overflow, slot_w), False) | dropped
+    )
+    return Tiered(
+        narrow_boards=narrow_boards,
+        narrow_valid=narrow_valid,
+        wide=wide,
+        wide_player=wide_player,
+        in_wide=in_wide,
+        wide_slot=slot_w,
+        count=count,
+        overflow=overflow,
+    )

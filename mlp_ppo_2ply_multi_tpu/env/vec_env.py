@@ -137,17 +137,34 @@ def step(
     deterministic under injected dice streams (quirk Q15). Games already
     over or truncated (step_count >= max_timesteps) freeze.
     """
-    p = state.player
-    live = ~state.game_over & (state.step_count < cfg.max_timesteps)
-    passing = live & (moves.count == 0)
-    acting = live & (moves.count > 0)
-
     a = jnp.clip(action, 0, moves.valid.shape[-1] - 1)
     # one-hot matmul take: a row gather here forced a [B, A, 52] layout copy
     # (~0.65ms at B=4096, A=448) plus a slow gather; the one-hot einsum rides
     # the MXU and fuses with the producer's layout (PERF.md round 2)
     chosen = board_take_onehot(moves.boards, a[..., None])
     chosen = Board(data=chosen.data[..., 0, :])
+    return step_chosen(state, moves.count, chosen, next_dice, cfg)
+
+
+def step_chosen(
+    state: EnvState,
+    count: jax.Array,
+    chosen: Board,
+    next_dice: jax.Array,
+    cfg: EnvConfig,
+) -> StepResult:
+    """``step`` with the selected afterstate supplied directly.
+
+    The tiered actor pipeline (movegen2.legal_moves_tiered) samples its move
+    per plane and takes the chosen board there, so the merged [B, A, 52]
+    move tensor never has to exist; the env only needs the legal-move count
+    (pass detection, backgammon_env.py:130-140) and the board the mover
+    chose. ``chosen`` is ignored where count == 0."""
+    p = state.player
+    live = ~state.game_over & (state.step_count < cfg.max_timesteps)
+    passing = live & (count == 0)
+    acting = live & (count > 0)
+
     new_board = Board(
         data=jnp.where(acting[..., None], chosen.data, state.board.data)
     )

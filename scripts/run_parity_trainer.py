@@ -21,6 +21,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("MLP_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MLP_TPU_PLATFORM"])
 import jax.numpy as jnp
 import torch
 

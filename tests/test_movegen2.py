@@ -431,3 +431,94 @@ def test_dd_tier_overflow_fallback():
             # narrow fallback: never more survivors than the full set
             assert int(ms_t.count[g]) <= int(ms_f.count[g]), g
     assert n_exact > 0
+
+
+def _tiered_game_survivors(ti, g):
+    """Presented boards of game g from a Tiered set, in order."""
+    if ti.in_wide[g]:
+        row = int(ti.wide_slot[g])
+        return [
+            jax_board_to_tuple(ti.wide.boards, row, int(k))
+            for k in np.flatnonzero(ti.wide.valid[row])
+        ]
+    return [
+        jax_board_to_tuple(ti.narrow_boards, g, int(k))
+        for k in np.flatnonzero(ti.narrow_valid[g])
+    ]
+
+
+def test_tiered_matches_legal_moves():
+    """legal_moves_tiered must present, game for game, exactly the boards of
+    the full-width canonical legal_moves in the same order. nd_tier=8 and
+    dd_tier=(4,4,8) sit far below typical widths so BOTH planes carry real
+    traffic; tiered_wide_div=1 sizes the wide plane to the whole batch so
+    nothing is ever truncated."""
+    rng = random.Random(995)
+    from mlp_ppo_2ply_multi_tpu.oracle import sampling
+
+    n = 128
+    boards = [sampling.random_board(rng) for _ in range(n)]
+    players = [rng.randint(0, 1) for _ in range(n)]
+    dice = []
+    for _ in range(n):
+        if rng.random() < 0.4:
+            d = rng.randint(1, 6)
+            dice.append((d, d))
+        else:
+            a, b = rng.randint(1, 6), rng.randint(1, 6)
+            while a == b:
+                a, b = rng.randint(1, 6), rng.randint(1, 6)
+            dice.append((a, b))
+    jb = boards_to_jax(boards)
+    pl = jnp.asarray(players, jnp.int32)
+    dc = jnp.asarray(dice, jnp.int32)
+
+    cfg_t = MoveGenConfig(
+        algo="canonical", dd_subbatch_div=4, nd_tier=8, dd_tier=(4, 4, 8),
+        tiered=True, tiered_wide_div=1,
+    )
+    cfg_full = MoveGenConfig(algo="canonical", dd_subbatch_div=0)
+    ti = jax.tree.map(np.asarray, jax.jit(
+        lambda b, p, d: MG2.legal_moves_tiered(b, p, d, cfg_t))(jb, pl, dc))
+    ms = jax.tree.map(np.asarray, jax.jit(
+        lambda b, p, d: MG2.legal_moves(b, p, d, cfg_full))(jb, pl, dc))
+
+    assert not ti.overflow.any()
+    np.testing.assert_array_equal(ti.count, ms.count)
+    for g in range(n):
+        want = [
+            jax_board_to_tuple(ms.boards, g, int(k))
+            for k in np.flatnonzero(ms.valid[g])
+        ]
+        got = _tiered_game_survivors(ti, g)
+        assert got == want, g
+
+
+def test_tiered_rollout_step_runs():
+    """One tiered-pipeline rollout_step executes on CPU and reports sane
+    counts (smoke; numeric behavior is covered by the plane-equivalence
+    test and the actor's own tests)."""
+    from mlp_ppo_2ply_multi_tpu.core.config import Config, ModelConfig
+    from mlp_ppo_2ply_multi_tpu.actor import rollout as actor
+    from mlp_ppo_2ply_multi_tpu.env import vec_env
+    from mlp_ppo_2ply_multi_tpu.learner import td
+
+    cfg = Config(
+        movegen=MoveGenConfig(
+            algo="canonical", w1=16, w2=32, w3=48, w4=64, a_max=64,
+            nd_dedup_k=64, dd_subbatch_div=4, nd_tier=16, dd_tier=(8, 8, 16),
+            tiered=True, tiered_wide_div=2,
+        ),
+        model=ModelConfig(fused_actor_kernel=True),
+    )
+    key = jax.random.PRNGKey(3)
+    params = td.init_train_state(key, cfg).params
+    state = vec_env.reset(jax.random.fold_in(key, 1), 128)
+    new_state, t = jax.jit(
+        lambda p, s, k: actor.rollout_step(
+            p, s, k, jnp.float32(1.0), cfg, True
+        )
+    )(params, state, jax.random.fold_in(key, 2))
+    nm = np.asarray(t.num_moves)
+    assert nm.min() >= 0 and nm.max() <= 64
+    assert bool(np.asarray(t.recorded).any())
