@@ -61,6 +61,14 @@ def variant_cfg(name: str) -> Config:
         import dataclasses
 
         return cfg.replace(movegen=dataclasses.replace(cfg.movegen, nd_tier=0))
+    if name == "tiered":
+        import dataclasses
+
+        return cfg.replace(
+            movegen=dataclasses.replace(
+                cfg.movegen, tiered=True, dd_tier=(48, 96, 96)
+            )
+        )
     if name == "twoply":
         return cfg.replace(twoply=TwoPlyConfig(enabled=True))
     if name == "twoply_tier":
@@ -76,7 +84,7 @@ def main():
     ap.add_argument("--twoply-batch", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--twoply-steps", type=int, default=8)
-    ap.add_argument("--variants", default="prod,tier0,twoply,twoply_tier")
+    ap.add_argument("--variants", default="prod,tier0,tiered,twoply,twoply_tier")
     args = ap.parse_args()
 
     for name in args.variants.split(","):
