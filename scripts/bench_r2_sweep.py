@@ -7,6 +7,9 @@ identical dispatches). Prints one JSON line per variant.
 
 Usage: python scripts/bench_r2_sweep.py [--batch 4096] [--steps 30] \
           [--variants prod,tier0,twoply,twoply_tier] [--twoply-batch 1024]
+
+A ``@N`` suffix on any variant name overrides its batch size, e.g.
+``prod@8192,tiered@8192`` measures the B=8192 scaling lever.
 """
 from __future__ import annotations
 
@@ -84,13 +87,19 @@ def main():
     ap.add_argument("--twoply-batch", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--twoply-steps", type=int, default=8)
-    ap.add_argument("--variants", default="prod,tier0,tiered,twoply,twoply_tier")
+    ap.add_argument(
+        "--variants",
+        default="prod,tier0,tiered,prod@8192,tiered@8192,twoply,twoply_tier",
+    )
     args = ap.parse_args()
 
     for name in args.variants.split(","):
-        cfg = variant_cfg(name)
+        base, _, suffix = name.partition("@")
+        cfg = variant_cfg(base)
         two = name.startswith("twoply")
         b = args.twoply_batch if two else args.batch
+        if suffix:
+            b = int(suffix)
         s = args.twoply_steps if two else args.steps
         t0 = time.perf_counter()
         rate = bench_rollout(cfg, b, s, warmup=3 if two else 8)
