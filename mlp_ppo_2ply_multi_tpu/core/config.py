@@ -95,7 +95,11 @@ class MoveGenConfig:
     # backgammon_env.py:35,:262-272). Default 512 = the next lane-tile
     # multiple above 500: the extra 12 slots only ever ADD presented moves
     # the reference would have truncated, and keep the action axis MXU/VPU
-    # tile-aligned. Unreachable in practice (audited max well below 448).
+    # tile-aligned. Audit (scripts/audit_widths.py, 105k decisions): the
+    # level-4 doubles frontier exceeds 500 (max 653) only in SYNTHETIC
+    # max-race positions; randomized-play maxima sit far below 448. Since Q7
+    # presents only the first 500 in enumeration order, any w4 >= 500 keeps
+    # the presented set exact regardless of the true level-4 width.
     a_max: int = 512
     # Enumeration engine: "canonical" (sortless, fast; doubles in canonical
     # rather than reference-DFS order — identical move SETS) or "sorted"

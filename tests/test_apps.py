@@ -130,7 +130,7 @@ def test_build_config_production_flag():
         batch_games=8, per_episode_updates=False, td_mode="reference",
         mode="continuous", seed=0, checkpoint_every=50_000,
         checkpoint_dir="c", metrics_dir="m", small_movegen=False,
-        production=True, max_timesteps=None,
+        production=True, max_timesteps=None, full_widths=False, tiered=False,
     )
     cfg = train.build_config(ns)
     assert cfg.model.dtype == "bfloat16" and cfg.model.fused_actor_kernel
@@ -138,6 +138,17 @@ def test_build_config_production_flag():
     ns.production = False
     cfg2 = train.build_config(ns)
     assert cfg2.model.dtype == "float32" and not cfg2.model.fused_actor_kernel
+    # --full-widths: production model config over parity enumeration widths
+    ns.production = True
+    ns.full_widths = True
+    cfg3 = train.build_config(ns)
+    assert cfg3.model.dtype == "bfloat16"
+    assert cfg3.movegen.a_max == MoveGenConfig().a_max
+    # --tiered: two-plane pipeline with tier widths filled in
+    ns.full_widths = False
+    ns.tiered = True
+    cfg4 = train.build_config(ns)
+    assert cfg4.movegen.tiered and cfg4.movegen.nd_tier and cfg4.movegen.dd_tier
 
 
 def test_train_cli_sigterm_checkpoints(tmp_path):
