@@ -5,8 +5,10 @@ Same capability as the reference's play app
 board each turn, let the human pick from the enumerated legal moves, and have
 the agent play argmax over afterstate values (:165-195) — optionally with the
 value-annotated move list shown (the reference's debug variant :65-123) and
-optional 2-ply expectimax scoring. Runs on the pure-python oracle engine —
-one interactive game needs no jit.
+optional 2-ply expectimax scoring. The game loop runs on the pure-python
+oracle engine (one interactive game needs no jit); with ``--engine jax`` the
+agent's move enumeration + evaluation run through the real batched JAX
+engine at batch 1 instead.
 
 Usage:
     python -m mlp_ppo_2ply_multi_tpu.apps.play --checkpoint model.pth \
@@ -15,9 +17,18 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import random
 import sys
 from typing import Optional
+
+# Honor the backend override BEFORE anything can initialize jax — the CLI
+# must stay interactive even when the TPU tunnel is unreachable
+# (MLP_TPU_PLATFORM=cpu; the JAX_PLATFORMS env var is preempted here).
+if os.environ.get("MLP_TPU_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["MLP_TPU_PLATFORM"])
 
 import numpy as np
 
@@ -65,6 +76,77 @@ def move_values(params, env: OracleEnv) -> np.ndarray:
         [rules.encode(b, env.player) for _, b in env.legal], dtype=np.float32
     )
     return value_net.forward_np(params, feats)
+
+
+class JaxEngine:
+    """``--engine jax``: the agent's move enumeration + candidate evaluation
+    run through the real batched engine (movegen2.legal_moves -> encoder ->
+    value_net.forward) at batch 1, instead of the pure-python oracle. The
+    chosen afterstate is mapped back to the oracle env's move index by
+    board-identity match (the canonical engine emits identical move SETS,
+    possibly in a different order — PARITY.md). Replaces the reference's
+    in-process agent evaluation loop (play_versus_ai.py:165-195) with the
+    same program the trainer runs."""
+
+    def __init__(self, params):
+        import jax
+        import jax.numpy as jnp
+
+        from mlp_ppo_2ply_multi_tpu.core.config import ModelConfig, MoveGenConfig
+        from mlp_ppo_2ply_multi_tpu.encoder.features import encode_board
+        from mlp_ppo_2ply_multi_tpu.engine import movegen2
+        from mlp_ppo_2ply_multi_tpu.engine.board import Board
+
+        self._jnp = jnp
+        self.params = jax.tree.map(jnp.asarray, params)
+        cfg = MoveGenConfig()
+        mcfg = ModelConfig()
+
+        def fn(params, data, player, dice):
+            ms = movegen2.legal_moves(Board(data=data), player, dice, cfg)
+            feats = encode_board(ms.boards, player[..., None])
+            v = value_net.forward(params, feats, mcfg)
+            return ms.boards.data, ms.valid, v
+
+        self._fn = jax.jit(fn)
+
+    def move_values(self, env: OracleEnv):
+        """Returns (afterstate board tuples, values) in engine order."""
+        jnp = self._jnp
+        b = env.board
+        data = np.array(
+            [list(b[0]) + list(b[1]) + list(b[2]) + list(b[3])], dtype=np.int8
+        )
+        boards, valid, v = self._fn(
+            self.params,
+            jnp.asarray(data),
+            jnp.asarray([env.player], jnp.int32),
+            jnp.asarray([list(env.roll)], jnp.int32),
+        )
+        boards, valid, v = np.asarray(boards), np.asarray(valid), np.asarray(v)
+        out_boards, out_v = [], []
+        for k in np.nonzero(valid[0])[0]:
+            d = boards[0, k]
+            out_boards.append((
+                tuple(int(x) for x in d[0:24]),
+                tuple(int(x) for x in d[24:48]),
+                (int(d[48]), int(d[49])),
+                (int(d[50]), int(d[51])),
+            ))
+            out_v.append(float(v[0, k]))
+        return out_boards, np.asarray(out_v, np.float32)
+
+    def agent_action(self, env: OracleEnv) -> int:
+        boards, v = self.move_values(env)
+        assert len(boards) == env.num_moves, (
+            f"engine/oracle move-count mismatch: {len(boards)} vs "
+            f"{env.num_moves} (board={env.board} roll={env.roll})"
+        )
+        best = boards[int(np.argmax(v))]
+        for i, (_, ob) in enumerate(env.legal):
+            if ob == best:
+                return i
+        raise AssertionError(f"engine afterstate not in oracle move set: {best}")
 
 
 def twoply_scores(params, env: OracleEnv, v: np.ndarray, k=4, alpha=1.0, beta=0.9):
@@ -131,9 +213,14 @@ def main(argv=None) -> int:
                          "(reference play_versus_ai.py:65-123, "
                          "play_game_human_select_agent_moves)")
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--engine", default="oracle", choices=("oracle", "jax"),
+                    help="agent move evaluation engine: 'oracle' (pure "
+                         "python, default) or 'jax' (the real batched "
+                         "movegen2 + value-net program at batch 1)")
     args = ap.parse_args(argv)
 
     params = load_params(args.checkpoint)
+    jax_engine = JaxEngine(params) if args.engine == "jax" else None
     rng = random.Random(args.seed)
     dice = iter(lambda: (rng.randint(1, 6), rng.randint(1, 6)), None)
     env = OracleEnv(dice)
@@ -156,7 +243,10 @@ def main(argv=None) -> int:
             a = human_action(params, env, show_values=True)
             env.step(a)
         else:
-            a = agent_action(params, env, args.two_ply)
+            if jax_engine is not None and not args.two_ply:
+                a = jax_engine.agent_action(env)
+            else:
+                a = agent_action(params, env, args.two_ply)
             print(f"agent plays: {describe_move(env.legal[a][0])}")
             env.step(a)
         steps += 1

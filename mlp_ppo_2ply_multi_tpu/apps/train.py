@@ -91,7 +91,11 @@ def build_config(args) -> Config:
         )
     if args.tiered:
         # two-plane tiered pipeline (movegen2.legal_moves_tiered): the
-        # merged [B, a_max, 52] move tensor never materializes
+        # merged [B, a_max, 52] move tensor never materializes. The pipeline
+        # requires the fused actor kernel (actor.rollout_step asserts it), so
+        # enable it here even without --production.
+        from mlp_ppo_2ply_multi_tpu.core.config import ModelConfig as _MC
+
         cfg = dataclasses.replace(
             cfg,
             movegen=dataclasses.replace(
@@ -99,6 +103,11 @@ def build_config(args) -> Config:
                 tiered=True,
                 nd_tier=cfg.movegen.nd_tier or 96,
                 dd_tier=cfg.movegen.dd_tier or (48, 96, 96),
+            ),
+            model=dataclasses.replace(
+                cfg.model,
+                fused_actor_kernel=True,
+                actor_tier_width=cfg.model.actor_tier_width or 96,
             ),
         )
     if args.max_timesteps is not None:

@@ -38,8 +38,9 @@ class ModelConfig:
     # the value forward + sampling; games with more legal moves than the tier
     # width are gathered into a batch/actor_tier_wide_div sub-batch evaluated
     # at full width. Exact: narrow games see their complete move set, wide
-    # games go through the wide path (audited P(count > 96) = 2.4%, so a
-    # batch/16 wide sub-batch sits ~28 sigma above the mean demand; an
+    # games go through the wide path (audited P(count > 96) = 2.4%: at
+    # B=4096 the wide demand is mean~98, sigma~9.8, so a batch/16 = 256-slot
+    # sub-batch sits ~16 sigma above the mean demand; an
     # overflow would fall back to the truncated narrow tier AND raise the
     # overflow flag). 0 = evaluate all presented slots directly.
     actor_tier_width: int = 0

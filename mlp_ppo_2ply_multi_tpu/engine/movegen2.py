@@ -569,10 +569,21 @@ def enumerate_doubles(
     out = merge(out, m1, has4 | a3 | a2)
     # any frontier-width drop can lose final moves regardless of which level
     # is ultimately selected (a dropped level-2 entry could have spawned
-    # level-4 children); OR in the Q7 cap on the selected level's set
+    # level-4 children); OR in the Q7 cap on the selected level's set —
+    # including shorts levels whose slot width exceeds a_max (unreachable
+    # with all shipped configs where w2,w3 <= a_max, but a custom config
+    # with w3 > a_max would otherwise rank-cap silently in level()).
+    def _cap_ov(valid, use, width):
+        if valid.shape[-1] <= width:
+            return jnp.zeros_like(has4)
+        return _popcount(valid & use[..., None]) > width
+
     overflow = (
         (root_cc > cfg.w1) | ov2 | ov3 | ov4
         | (jnp.where(has4, _popcount(front4.valid & has4[..., None]), 0) > a_max)
+        | _cap_ov(shorts3.valid, (~has4) & a3, a_max)
+        | _cap_ov(shorts2.valid, (~has4) & ~a3 & a2, a_max)
+        | _cap_ov(shorts1.valid, (~has4) & ~a3 & ~a2, a_max)
     )
     return MoveSet(boards=out.boards, valid=out.valid, count=out.count,
                    overflow=overflow)

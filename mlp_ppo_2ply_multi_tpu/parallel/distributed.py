@@ -18,7 +18,10 @@ from typing import Optional
 
 import jax
 
-from mlp_ppo_2ply_multi_tpu.parallel import sharding
+# NOTE: no package imports at module level — init() must run before anything
+# touches the XLA backend, and importing the compute modules (sharding ->
+# actor/learner) builds jnp constants that initialize it. Verified by
+# scripts/multiprocess_distributed.py.
 
 
 def init(
@@ -42,6 +45,8 @@ def init(
 def global_mesh(model: int = 1):
     """A {data, model} mesh over every device of every host; the data axis
     spans hosts (gradient psum rides ICI within a slice and DCN across)."""
+    from mlp_ppo_2ply_multi_tpu.parallel import sharding
+
     n = jax.device_count()
     return sharding.make_mesh(n // model, model)
 

@@ -66,16 +66,18 @@ def main():
             a = None if env.num_moves == 0 else rng.randrange(env.num_moves)
             env.step(a)
     # synthetic positions (oracle/sampling.random_board) reach adversarial
-    # bear-off / stacked / bar-heavy states random play rarely visits; every
-    # roll incl. all six doubles is audited per position (VERDICT #6)
+    # bear-off / stacked / bar-heavy states random play rarely visits; ALL 21
+    # distinct rolls (15 non-doubles + 6 doubles) are audited per position
+    # (VERDICT #6 / round-2 ADVICE: earlier versions sampled only one
+    # non-doubles + one double per position)
     if n_synth:
         from mlp_ppo_2ply_multi_tpu.oracle import sampling
 
+        all_rolls = [(d0, d1) for d0 in range(1, 7) for d1 in range(d0, 7)]
         for _ in range(n_synth):
             b = sampling.random_board(rng)
             p = rng.randint(0, 1)
-            for roll in [(rng.randint(1, 6), rng.randint(1, 6)),
-                         (rng.randint(1, 6),) * 2]:
+            for roll in all_rolls:
                 audit_position(b, p, roll, acc)
     pres = sorted(acc["presented"])
     q = lambda f: pres[min(len(pres) - 1, int(f * len(pres)))]

@@ -32,6 +32,88 @@ def jax_board_to_tuple(b, g: int, k: int = None) -> BoardT:
     )
 
 
+def blocked_doubles_case(rng: random.Random):
+    """Construct (board, player, die) aimed at NO-4-MOVE doubles positions —
+    the only reachable class where the forced-shorter rule's path dependence
+    in the reference (handle_move_types.py) could diverge from our
+    order-independent formulation (PARITY.md divergence 3). The mover's
+    chain landing points for die d are mostly opponent-made; ~18% of draws
+    yield a position whose longest playable doubles sequence is 1-3 submoves.
+    """
+    p = rng.randint(0, 1)
+    d = rng.randint(1, 6)
+    opp = 1 - p
+    pts = [[0] * 24, [0] * 24]
+    bar = [0, 0]
+    off = [0, 0]
+    sign = 1 if p == 0 else -1
+    n = 15
+    if rng.random() < 0.4:
+        bar[p] = rng.randint(1, 3)
+        n -= bar[p]
+    own_pts = rng.sample(range(24), rng.randint(2, 5))
+    for i, s in enumerate(own_pts):
+        k = min(n, rng.randint(1, 6)) if i < len(own_pts) - 1 else n
+        pts[p][s] += k
+        n -= k
+        if n == 0:
+            break
+    if n:
+        pts[p][own_pts[0]] += n
+    m = 15
+    landings = []
+    for s in range(24):
+        if pts[p][s]:
+            for j in (1, 2, 3):
+                t = s + sign * j * d
+                if 0 <= t < 24 and pts[p][t] == 0:
+                    landings.append(t)
+    if bar[p]:
+        entry = (d - 1) if p == 0 else (24 - d)
+        for e in range(6):
+            t = e if p == 0 else 23 - e
+            if t != entry and pts[p][t] == 0 and rng.random() < 0.85 and m >= 2:
+                pts[opp][t] += 2
+                m -= 2
+        for j in (1, 2):
+            t = entry + sign * j * d
+            if 0 <= t < 24 and pts[p][t] == 0:
+                landings.append(t)
+    rng.shuffle(landings)
+    for t in landings:
+        if pts[opp][t] == 0 and m >= 2 and rng.random() < 0.85:
+            pts[opp][t] += 2
+            m -= 2
+    spots = [i for i in range(24) if pts[p][i] == 0 and pts[opp][i] == 0]
+    rng.shuffle(spots)
+    for t in spots:
+        if m == 0:
+            break
+        k = min(m, rng.randint(1, 4))
+        pts[opp][t] += k
+        m -= k
+    off[opp] += m
+    return (tuple(pts[0]), tuple(pts[1]), tuple(bar), tuple(off)), p, d
+
+
+def collect_no4move_doubles(seed: int, n: int, max_draws: int = None):
+    """Rejection-sample ``n`` decisions (board, player, die) whose doubles
+    move set is non-empty with longest sequence < 4 submoves."""
+    from mlp_ppo_2ply_multi_tpu.oracle import rules
+
+    rng = random.Random(seed)
+    out = []
+    draws = 0
+    cap = max_draws or n * 40
+    while len(out) < n and draws < cap:
+        draws += 1
+        b, p, d = blocked_doubles_case(rng)
+        mvs = rules.full_moves(b, p, [d, d])
+        if mvs and max(len(mv[0]) for mv in mvs) < 4:
+            out.append((b, p, d))
+    return out
+
+
 def sample_cases(
     seed: int, n: int, doubles_bias: float = 0.4
 ) -> Tuple[List[BoardT], List[int], List[Tuple[int, int]]]:
