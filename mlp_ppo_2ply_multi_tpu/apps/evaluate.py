@@ -53,20 +53,31 @@ def main(argv=None) -> int:
                     default="reference",
                     help="value-orientation semantics the checkpoint was "
                          "trained with (side0: side 1 minimizes)")
+    ap.add_argument("--opponent-td-mode",
+                    choices=("reference", "negamax", "side0"), default=None,
+                    help="orientation for a CHECKPOINT opponent trained "
+                         "under a different td_mode (default: same as "
+                         "--td-mode); each policy carries its own "
+                         "orientation, like scripts/eval_matchups.py")
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
     from mlp_ppo_2ply_multi_tpu.core.config import TrainConfig
 
-    cfg = Config(
-        twoply=TwoPlyConfig(enabled=True),
-        train=TrainConfig(td_mode=args.td_mode),
-    )
-    if args.small_movegen:
-        cfg = dataclasses.replace(
-            cfg, movegen=MoveGenConfig(w1=16, w2=32, w3=48, w4=64, a_max=64)
+    def make_cfg(td_mode):
+        c = Config(
+            twoply=TwoPlyConfig(enabled=True),
+            train=TrainConfig(td_mode=td_mode),
         )
+        if args.small_movegen:
+            c = dataclasses.replace(
+                c, movegen=MoveGenConfig(w1=16, w2=32, w3=48, w4=64, a_max=64)
+            )
+        return c
+
+    cfg = make_cfg(args.td_mode)
+    cfg_b = make_cfg(args.opponent_td_mode or args.td_mode)
 
     params_a = _load(args.checkpoint, cfg)
     policy_a = (
@@ -78,11 +89,11 @@ def main(argv=None) -> int:
     if args.opponent == "random":
         params_b, policy_b = params_a, arena.random_policy(cfg)
     elif args.opponent == "greedy":
-        params_b, policy_b = params_a, arena.greedy_policy(cfg)
+        params_b, policy_b = params_a, arena.greedy_policy(cfg_b)
     elif args.opponent == "twoply":
-        params_b, policy_b = params_a, arena.twoply_greedy_policy(cfg)
+        params_b, policy_b = params_a, arena.twoply_greedy_policy(cfg_b)
     else:
-        params_b, policy_b = _load(args.opponent, cfg), arena.greedy_policy(cfg)
+        params_b, policy_b = _load(args.opponent, cfg_b), arena.greedy_policy(cfg_b)
 
     res = arena.play_match(
         params_a,

@@ -114,6 +114,17 @@ def build_config(args) -> Config:
         cfg = dataclasses.replace(
             cfg, env=dataclasses.replace(cfg.env, max_timesteps=args.max_timesteps)
         )
+    if getattr(args, "two_ply", False):
+        from mlp_ppo_2ply_multi_tpu.core.config import TwoPlyConfig
+
+        # 2-ply self-play training (VERDICT round-2 item 9): the rollout's
+        # action selection goes through twoply.select_action_2ply; the
+        # tiered pipeline is 1-ply-only so it is disabled here.
+        cfg = dataclasses.replace(
+            cfg,
+            twoply=TwoPlyConfig(enabled=True),
+            movegen=dataclasses.replace(cfg.movegen, tiered=False),
+        )
     return cfg
 
 
@@ -303,6 +314,10 @@ def main(argv=None) -> int:
     ap.add_argument("--full-widths", action="store_true",
                     help="with --production: keep the full parity movegen "
                          "widths (fast-vs-full quality control arm)")
+    ap.add_argument("--two-ply", action="store_true",
+                    help="self-play with the LIVE 2-ply expectimax rerank "
+                         "policy (the reference shipped this as dead code, "
+                         "two_ply.py:153-193; here it trains end-to-end)")
     ap.add_argument("--remote-dir", default=None,
                     help="fsspec URI (gs://..., memory://...) mirrored with "
                          "metrics and checkpoints — the reference's S3 "
