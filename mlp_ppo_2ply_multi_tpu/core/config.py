@@ -179,6 +179,13 @@ class TrainConfig:
     gamma: float = 0.99  # reference configuration.py:15
     learning_rate: float = 1e-3  # reference configuration.py:17
     grad_clip: float = 1.0  # reference configuration.py:18
+    # LR decay hooks (reference configuration.py:19-20; DEAD there — stored
+    # in Trainer.__init__:36-37, never applied). Live here: lr_decay < 1.0
+    # decays the Adam learning rate by that factor every lr_decay_steps
+    # optimizer steps. Default 1.0 = off, matching the reference's EFFECTIVE
+    # behavior (constant LR).
+    lr_decay: float = 1.0
+    lr_decay_steps: int = 100_000
     # Q2: True = reference-parity sequential per-episode Adam steps.
     per_episode_updates: bool = True
     # Q3 fix-behind-flag (measured in RESULTS.md):

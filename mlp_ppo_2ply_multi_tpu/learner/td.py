@@ -42,9 +42,22 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam + global-norm clip (reference trainer.py:33-39). The reference
+    also STORES lr_decay/lr_decay_steps (configuration.py:19-20) but never
+    applies them (trainer.py:36-37 is the only use) — here the hook is live:
+    lr_decay < 1 applies stepwise exponential decay over Adam update counts.
+    """
+    lr = cfg.train.learning_rate
+    if cfg.train.lr_decay < 1.0:
+        lr = optax.exponential_decay(
+            init_value=lr,
+            transition_steps=cfg.train.lr_decay_steps,
+            decay_rate=cfg.train.lr_decay,
+            staircase=True,
+        )
     return optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip),
-        optax.adam(cfg.train.learning_rate),
+        optax.adam(lr),
     )
 
 

@@ -9,9 +9,10 @@ cd /root/repo
 mkdir -p /tmp/docket
 START=${1:-0}
 
-run() { # run NN name timeout cmd...
+run() { # run NN name timeout cmd...  (NN may carry a letter suffix: 05b)
   local nn=$1 name=$2 to=$3; shift 3
-  if [ "$nn" -lt "$START" ]; then echo "skip $nn $name"; return; fi
+  local nn_num=${nn//[!0-9]/}
+  if [ "$((10#$nn_num))" -lt "$START" ]; then echo "skip $nn $name"; return; fi
   echo "=== [$nn] $name start $(date)" | tee -a /tmp/docket/driver.log
   timeout "$to" "$@" > "/tmp/docket/${nn}_${name}.log" 2>&1
   echo "=== [$nn] $name exit=$? $(date)" | tee -a /tmp/docket/driver.log
@@ -30,8 +31,10 @@ run 02 dd_widths 3600 python scripts/probe_dd_widths.py
 run 03 traj_jax 7200 python scripts/trajectory_parity.py jax --games 4096 --out /tmp/traj_jax_4096.jsonl
 run 04 traj_cmp 1800 python scripts/trajectory_parity.py compare /tmp/traj_ref_4096.jsonl /tmp/traj_jax_4096.jsonl --out artifacts/trajectory_parity.json
 
-# 4. 2-ply: bench current state (reply tier + die tables) + device trace
-run 05 bench_twoply 7200 python scripts/bench_twoply.py
+# 4. 2-ply: bench current state (reply tier + die tables) at two batch
+#    sizes + device trace for the next lever
+run 05 bench_twoply 7200 python scripts/bench_twoply.py 1024 12
+run 05b bench_twoply4k 7200 python scripts/bench_twoply.py 4096 8
 run 06 twoply_trace 3600 python scripts/probe_twoply_trace.py
 
 # 5. learning-curve parity runs on TPU (matched hyperparameters)

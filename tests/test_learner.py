@@ -147,3 +147,32 @@ def test_td_sign_flip_targets():
     np.testing.assert_allclose(
         np.asarray(t_s0b), [[g * 0.2], [g * 0.3], [g * 0.4], [-1.0]], rtol=1e-6
     )
+
+
+def test_lr_decay_hook():
+    """lr_decay < 1 shrinks later Adam steps (the reference's DEAD
+    LR_DECAY/LR_DECAY_STEPS hooks, configuration.py:19-20, live here)."""
+    import optax
+
+    params = {"w": jnp.ones((4,))}
+    g = {"w": jnp.full((4,), 0.5)}
+
+    def total_motion(cfg):
+        opt = td.make_optimizer(cfg)
+        st = opt.init(params)
+        p = params
+        deltas = []
+        for _ in range(3):
+            up, st = opt.update(g, st, p)
+            p = optax.apply_updates(p, up)
+            deltas.append(float(jnp.abs(up["w"]).sum()))
+        return deltas
+
+    base = Config(train=TrainConfig())
+    dec = Config(train=TrainConfig(lr_decay=0.5, lr_decay_steps=1))
+    d_base = total_motion(base)
+    d_dec = total_motion(dec)
+    # first step identical (decay applies from step boundary), later steps
+    # strictly smaller under decay
+    np.testing.assert_allclose(d_base[0], d_dec[0], rtol=1e-6)
+    assert d_dec[2] < d_base[2] * 0.6, (d_base, d_dec)
