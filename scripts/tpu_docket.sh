@@ -62,4 +62,8 @@ run 20 s13_vs_refbest 1800 python -m mlp_ppo_2ply_multi_tpu.apps.evaluate --td-m
 # 9. fresh production trace at B=8192 for the next perf lever
 run 21 prod_trace 3600 python scripts/probe_prod_trace.py tiered
 
+# 10. sustained SPMD train-step throughput (1 device on this chip; the same
+#     script emits the scaling column on a pod slice)
+run 22 bench_spmd 7200 python scripts/bench_spmd.py --devices 1
+
 echo "DOCKET COMPLETE $(date)" | tee -a /tmp/docket/driver.log
