@@ -6,10 +6,17 @@ afterstate sets against the EXECUTABLE reference.
 
 Usage: python scripts/adversarial_doubles_sweep.py [n_decisions] (default 10000)
 """
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+import jax
+
+# pure-CPU workload (oracle + reference + small canonical batches); never
+# touch the tunnel backend unless explicitly overridden
+jax.config.update("jax_platforms", os.environ.get("MLP_TPU_PLATFORM", "cpu"))
 
 import numpy as np
 
