@@ -66,4 +66,14 @@ run 21 prod_trace 3600 python scripts/probe_prod_trace.py tiered
 #     script emits the scaling column on a pod slice)
 run 22 bench_spmd 7200 python scripts/bench_spmd.py --devices 1
 
+# 11. 2-ply self-play TRAINING demonstration (VERDICT round-2 item 9): train
+#     with the live 2-ply rerank policy, train a 1-ply twin at the same
+#     seed/update budget, then arena them head-to-head (the reference
+#     shipped 2-ply only as dead code; this closes the last capability
+#     configuration never run end-to-end)
+run 23 train_2ply 14400 python -m mlp_ppo_2ply_multi_tpu.apps.train --mode continuous --production --td-mode side0 --two-ply --batch-games 1024 --updates 120 --steps-per-update 64 --seed 21 --checkpoint-dir /tmp/ck_2ply_s21 --metrics-dir /tmp/runs_2ply_s21 --log-every 10
+run 24 train_1ply_twin 7200 python -m mlp_ppo_2ply_multi_tpu.apps.train --mode continuous --production --td-mode side0 --batch-games 1024 --updates 120 --steps-per-update 64 --seed 21 --checkpoint-dir /tmp/ck_1ply_s21 --metrics-dir /tmp/runs_1ply_s21 --log-every 10
+run 25 arena_2ply_twin 3600 python -m mlp_ppo_2ply_multi_tpu.apps.evaluate --td-mode side0 --checkpoint /tmp/ck_2ply_s21 --opponent /tmp/ck_1ply_s21 --opponent-td-mode side0 --games 2048
+run 26 arena_2ply_rand 1800 python -m mlp_ppo_2ply_multi_tpu.apps.evaluate --td-mode side0 --checkpoint /tmp/ck_2ply_s21 --opponent random --games 2048
+
 echo "DOCKET COMPLETE $(date)" | tee -a /tmp/docket/driver.log
