@@ -96,18 +96,71 @@ def blocked_doubles_case(rng: random.Random):
     return (tuple(pts[0]), tuple(pts[1]), tuple(bar), tuple(off)), p, d
 
 
+def bearoff_doubles_case(rng: random.Random):
+    """Bear-off-corner family: 1-3 mover checkers left in the home board
+    (rest borne off), optional opponent contact inside the home — exercises
+    the exact/overage bear-off slots and farthest-point enabling chains that
+    the blocking family never reaches."""
+    p = rng.randint(0, 1)
+    d = rng.randint(1, 6)
+    opp = 1 - p
+    pts = [[0] * 24, [0] * 24]
+    bar = [0, 0]
+    off = [0, 0]
+    home = list(range(18, 24)) if p == 0 else list(range(0, 6))
+    k = rng.randint(1, 3)
+    for _ in range(k):
+        pts[p][rng.choice(home)] += 1
+    off[p] = 15 - k
+    m = 15
+    if rng.random() < 0.6:
+        free = [i for i in home if pts[p][i] == 0]
+        if free:
+            t = rng.choice(free)
+            c = rng.choice([1, 2])
+            pts[opp][t] += c
+            m -= c
+    away = [
+        i for i in range(24)
+        if i not in home and pts[p][i] == 0 and pts[opp][i] == 0
+    ]
+    rng.shuffle(away)
+    for t in away:
+        if m == 0:
+            break
+        c = min(m, rng.randint(1, 5))
+        pts[opp][t] += c
+        m -= c
+    off[opp] += m
+    return (tuple(pts[0]), tuple(pts[1]), tuple(bar), tuple(off)), p, d
+
+
 def collect_no4move_doubles(seed: int, n: int, max_draws: int = None):
     """Rejection-sample ``n`` decisions (board, player, die) whose doubles
-    move set is non-empty with longest sequence < 4 submoves."""
+    move set is non-empty with longest sequence < 4 submoves. Draws
+    alternate between the blocked-chain family and the bear-off family.
+
+    Empirical + structural note: every such decision has exactly ONE
+    presented move. With a single die value each checker position has at
+    most one destination (normal, exact bear-off, and overage bear-off are
+    mutually exclusive per origin), opponent material is static during the
+    turn, and playing a submove only ever ENABLES other submoves (home
+    entry -> bear-off eligibility, farthest-point succession) — so every
+    maximal sequence plays the same submove multiset and reaches the same
+    afterstate (confluence). The reference's path-dependent forced-shorter
+    recursion therefore has no room to diverge in this class; the 10k-case
+    sweep (scripts/adversarial_doubles_sweep.py) confirms count/order/
+    afterstate equality case-for-case."""
     from mlp_ppo_2ply_multi_tpu.oracle import rules
 
     rng = random.Random(seed)
     out = []
     draws = 0
     cap = max_draws or n * 40
+    gens = (blocked_doubles_case, bearoff_doubles_case)
     while len(out) < n and draws < cap:
+        b, p, d = gens[draws % 2](rng)
         draws += 1
-        b, p, d = blocked_doubles_case(rng)
         mvs = rules.full_moves(b, p, [d, d])
         if mvs and max(len(mv[0]) for mv in mvs) < 4:
             out.append((b, p, d))
