@@ -204,6 +204,90 @@ def slot_table(board: Board, player: jax.Array, die: jax.Array) -> SlotTable:
     return SlotTable(start=start, end=end, hits=hits, valid=valid)
 
 
+class SlotCtx(NamedTuple):
+    """Opponent-side single-die context, computed once on a turn's ROOT
+    board and reused for every board reachable from it within the turn.
+
+    Validity argument: during a turn the mover's submoves change only the
+    mover's own material, except hits — and a hit only removes an opponent
+    BLOT (count 1 -> 0, plus opponent bar +1, which never enters the mover's
+    legality tests). A 1 -> 0 transition cannot flip any of the reference's
+    `>= 2`-checkers blocking tests (get_moves_one_die.py:56-66, :98-118), and
+    destination geometry is a pure function of (die, player). So the
+    opponent-side half of the 27-slot table is a turn-level invariant; only
+    the mover-side half (occupancy, state kind, farthest/exact points)
+    changes per expanded board. Hits are NOT part of the context — callers
+    that need hit bits recompute them per selected submove (slot_params).
+    """
+
+    move_ok: jax.Array  # bool[..., 24]: dest in-board and not blocked
+    entry_free: jax.Array  # bool[...]: bar-entry point not blocked
+
+
+def slot_ctx(board: Board, player: jax.Array, die: jax.Array) -> SlotCtx:
+    """Build the SlotCtx for ``board`` as the turn's root (see SlotCtx)."""
+    bs = board.batch_shape
+    p8 = jnp.broadcast_to(player.astype(jnp.int8), bs)
+    d8 = jnp.broadcast_to(die.astype(jnp.int8), bs)
+    sign8 = (1 - 2 * p8).astype(jnp.int8)
+    opp = opponent_points(board, player)
+    iota8 = jnp.arange(NUM_POINTS, dtype=jnp.int8)
+    dest8 = iota8 + (d8 * sign8)[..., None]
+    in_board = (dest8 >= 0) & (dest8 < NUM_POINTS)
+    opp_at_dest = _shift_by_die(opp, d8, sign8)
+    entry8 = jnp.where(p8 == 0, d8 - 1, NUM_POINTS - d8).astype(jnp.int8)
+    opp_at_entry = _at_static_lane(
+        opp, entry8, list(range(0, 6)) + list(range(18, 24))
+    )
+    return SlotCtx(
+        move_ok=in_board & (opp_at_dest < 2), entry_free=opp_at_entry < 2
+    )
+
+
+def ctx_entry_axis(ctx: SlotCtx) -> SlotCtx:
+    """Broadcast a root-batch SlotCtx against boards carrying one extra
+    trailing entry axis (children / frontier entries of that root)."""
+    return SlotCtx(
+        move_ok=ctx.move_ok[..., None, :], entry_free=ctx.entry_free[..., None]
+    )
+
+
+def slot_valid(
+    board: Board, player: jax.Array, die: jax.Array, ctx: SlotCtx
+) -> Tuple[jax.Array, jax.Array]:
+    """Validity bits of ``slot_table(board, player, die).valid`` with the
+    opponent-side tests supplied by a SlotCtx built on the turn's root —
+    bit-exact for any board reachable from that root within the turn, at a
+    fraction of the cost (no per-board die shifts or opponent lane reads).
+
+    Returns (valid bool[..., 27], last8 int8[...] — the farthest occupied
+    home point, which slot-rank computations need for slot 25).
+    """
+    bs = board.batch_shape
+    p8 = jnp.broadcast_to(player.astype(jnp.int8), bs)
+    d8 = jnp.broadcast_to(die.astype(jnp.int8), bs)
+    own = player_points(board, player)
+    kind = board_state_kind(board, player)
+
+    normal_ok = ((kind == 0) | (kind == 2))[..., None] & (own > 0) & ctx.move_ok
+    bar_ok = (kind == 1) & ctx.entry_free
+
+    last8 = farthest_point(board, player)
+    over_ok = (kind == 2) & jnp.where(
+        p8 == 0, last8 + d8 >= NUM_POINTS, last8 - d8 < 0
+    )
+    exact8 = jnp.where(p8 == 0, NUM_POINTS - d8, d8 - 1).astype(jnp.int8)
+    own_at_exact = _at_static_lane(
+        own, exact8, list(range(0, 6)) + list(range(18, 24))
+    )
+    exact_ok = (kind == 2) & (exact8 != last8) & (own_at_exact > 0)
+    valid = jnp.concatenate(
+        [normal_ok, bar_ok[..., None], over_ok[..., None], exact_ok[..., None]],
+        axis=-1,
+    )
+    return valid, last8
+
+
 def farthest_point(board: Board, player: jax.Array) -> jax.Array:
     """Farthest occupied home point (get_moves_one_die.py:191-203); defaults
     to the first home point when the home board is empty."""

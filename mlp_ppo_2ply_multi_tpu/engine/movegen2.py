@@ -62,13 +62,17 @@ from mlp_ppo_2ply_multi_tpu.engine.board import (
 from mlp_ppo_2ply_multi_tpu.engine.movegen import (
     MoveSet,
     N_SLOTS,
+    SlotCtx,
     SlotTable,
     board_expand,
     board_take_oh,
     board_take_onehot,
     board_where,
+    ctx_entry_axis,
+    slot_ctx,
     slot_params,
     slot_table,
+    slot_valid,
 )
 
 _INF32 = jnp.int32(0x7FFFFFFF)
@@ -184,20 +188,30 @@ _CAND_J = np.where(_is_pair, _off % N_SLOTS, -1).astype(np.int32)
 class _Pass(NamedTuple):
     s1: SlotTable  # first-ply slots on the root board
     b1: Board  # 27 first-ply afterstates
-    s2: SlotTable  # second-ply slots per afterstate [..., 27, 27]
+    s2_valid: jax.Array  # second-ply slot validity per afterstate [..., 27, 27]
     pair_valid: jax.Array
     any_pair: jax.Array
     single_valid: jax.Array
 
 
-def _run_pass_pre(s1: SlotTable, b1: Board, player, d_second) -> _Pass:
-    """Pass from a precomputed first-die slot table + children (die_tables)."""
+def _run_pass_pre(
+    s1: SlotTable, b1: Board, player, d_second, ctx: SlotCtx = None
+) -> _Pass:
+    """Pass from a precomputed first-die slot table + children (die_tables).
+
+    The second-ply table is needed only for VALIDITY (the tail rebuilds
+    submove params arithmetically on selected cells), so with a root SlotCtx
+    for ``d_second`` it runs as the cheap mover-side-only slot_valid; without
+    one it falls back to the full slot_table."""
     p27 = player[..., None]
-    s2 = slot_table(b1, p27, d_second[..., None])
-    pair_valid = s1.valid[..., None] & s2.valid
+    if ctx is None:
+        s2_valid = slot_table(b1, p27, d_second[..., None]).valid
+    else:
+        s2_valid, _ = slot_valid(b1, p27, d_second[..., None], ctx_entry_axis(ctx))
+    pair_valid = s1.valid[..., None] & s2_valid
     any_pair = jnp.any(pair_valid, axis=(-1, -2))
     single_valid = s1.valid & ~any_pair[..., None]
-    return _Pass(s1, b1, s2, pair_valid, any_pair, single_valid)
+    return _Pass(s1, b1, s2_valid, pair_valid, any_pair, single_valid)
 
 
 def _run_pass(board: Board, player, d_first, d_second) -> _Pass:
@@ -205,7 +219,9 @@ def _run_pass(board: Board, player, d_first, d_second) -> _Pass:
     b27 = board_expand(board, N_SLOTS)
     p27 = player[..., None]
     b1 = apply_submove(b27, p27, s1.start, s1.end, s1.hits, s1.valid)
-    return _run_pass_pre(s1, b1, player, d_second)
+    return _run_pass_pre(
+        s1, b1, player, d_second, ctx=slot_ctx(board, player, d_second)
+    )
 
 
 def die_tables(board: Board, player: jax.Array) -> Tuple[SlotTable, Board]:
@@ -226,6 +242,18 @@ def die_tables(board: Board, player: jax.Array) -> Tuple[SlotTable, Board]:
     b27 = board_expand(b6, N_SLOTS)
     b1 = apply_submove(b27, p6[..., None], s1.start, s1.end, s1.hits, s1.valid)
     return s1, b1
+
+
+def die_ctxs(board: Board, player: jax.Array) -> SlotCtx:
+    """Root SlotCtx for ALL SIX die values, fields stacked on a leading [6]
+    axis (companion of die_tables; the 2-ply scorer gathers per-roll second
+    dies from it instead of rebuilding opponent-side context per roll)."""
+    dies = jnp.arange(1, 7, dtype=jnp.int32)
+    bs = board.batch_shape
+    b6 = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (6, *a.shape)), board)
+    p6 = jnp.broadcast_to(player, (6, *bs))
+    d6 = jnp.broadcast_to(dies.reshape(6, *([1] * len(bs))), (6, *bs))
+    return slot_ctx(b6, p6, d6)
 
 
 def _nd_tail(
@@ -438,24 +466,66 @@ class _Frontier(NamedTuple):
     valid: jax.Array
 
 
+def _rank_lanes(last8: jax.Array, player: jax.Array, die: jax.Array) -> jax.Array:
+    """Canonical rank per slot (same formula as _slot_rank) without a
+    materialized SlotTable: slot starts are static per (player, die) except
+    the farthest-bear-off lane, which takes ``last8``."""
+    p = player.astype(jnp.int32)
+    d = die.astype(jnp.int32)
+    iota = jnp.arange(NUM_POINTS, dtype=jnp.int32)
+    p_ = p[..., None]
+    adj_i = jnp.where(p_ == 0, iota, NUM_POINTS - 1 - iota)
+    adj_i = jnp.broadcast_to(adj_i, (*jnp.shape(last8), NUM_POINTS))
+    last = last8.astype(jnp.int32)
+    adj_last = jnp.where(p == 0, last, NUM_POINTS - 1 - last)
+    exact = jnp.where(p == 0, NUM_POINTS - d, d - 1)
+    adj_exact = jnp.broadcast_to(
+        jnp.where(p == 0, exact, NUM_POINTS - 1 - exact), jnp.shape(last8)
+    )
+    neg1 = jnp.broadcast_to(jnp.int32(-1), jnp.shape(last8))
+    return jnp.concatenate(
+        [
+            2 * adj_i,
+            neg1[..., None],
+            (2 * adj_last + 1)[..., None],
+            (2 * adj_exact + 1)[..., None],
+        ],
+        axis=-1,
+    )
+
+
 def _expand(
-    front: _Frontier, player: jax.Array, die: jax.Array, width: int
+    front: _Frontier,
+    player: jax.Array,
+    die: jax.Array,
+    width: int,
+    ctx: SlotCtx = None,
 ) -> Tuple[_Frontier, MoveSet, jax.Array]:
     """One canonical level expansion; also returns this level's forced-short
     records as a (boards, valid, count) set in frontier order, plus a
     bool[...] overflow flag (more legal children than ``width`` slots —
-    dropped children could have produced final moves)."""
+    dropped children could have produced final moves). ``ctx`` (the root
+    SlotCtx for this die) replaces the full per-frontier slot_table with the
+    mover-side-only slot_valid — exact, since every frontier board is
+    reachable from the root within the turn."""
     pw = player[..., None]
-    st = slot_table(front.boards, pw, die[..., None])  # [..., W, 27]
-    full_cc = _popcount(st.valid)  # [..., W]
+    if ctx is None:
+        st = slot_table(front.boards, pw, die[..., None])  # [..., W, 27]
+        valid27 = st.valid
+        rank = _slot_rank(st, pw)
+    else:
+        valid27, last8 = slot_valid(
+            front.boards, pw, die[..., None], ctx_entry_axis(ctx)
+        )
+        rank = _rank_lanes(last8, pw, die[..., None])
+    full_cc = _popcount(valid27)  # [..., W]
 
     shorts_valid = front.valid & front.only & (full_cc == 0)
     shorts = MoveSet(
         boards=front.boards, valid=shorts_valid, count=_popcount(shorts_valid)
     )
 
-    rank = _slot_rank(st, pw)
-    child_valid = front.valid[..., None] & st.valid & (rank >= front.last_rank[..., None])
+    child_valid = front.valid[..., None] & valid27 & (rank >= front.last_rank[..., None])
 
     # Blocked select over the natural [W, 27] structure: the boundary block
     # IS the parent frontier entry and the local position the slot index, so
@@ -489,7 +559,10 @@ def enumerate_doubles(
 ) -> MoveSet:
     """Canonical doubles enumeration — zero sorts, zero dedup (see module
     docstring for the uniqueness argument). ``s1`` supplies a precomputed
-    root slot table for this die (die_tables)."""
+    root slot table for this die (die_tables). The three level expansions
+    share one root SlotCtx (the die is constant for the whole turn), so
+    opponent-side blocking tests run once instead of per frontier entry."""
+    ctx = slot_ctx(board, player, die)
     if s1 is None:
         s1 = slot_table(board, player, die)
     root_cc = _popcount(s1.valid)
@@ -508,9 +581,9 @@ def enumerate_doubles(
         valid=ok1,
     )
 
-    front2, shorts1, ov2 = _expand(front, player, die, cfg.w2)
-    front3, shorts2, ov3 = _expand(front2, player, die, cfg.w3)
-    front4, shorts3, ov4 = _expand(front3, player, die, cfg.w4)
+    front2, shorts1, ov2 = _expand(front, player, die, cfg.w2, ctx)
+    front3, shorts2, ov3 = _expand(front2, player, die, cfg.w3, ctx)
+    front4, shorts3, ov4 = _expand(front3, player, die, cfg.w4, ctx)
 
     has4 = jnp.any(front4.valid, axis=-1)
     a3 = jnp.any(shorts3.valid, axis=-1)

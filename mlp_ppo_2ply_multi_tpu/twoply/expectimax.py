@@ -178,6 +178,11 @@ def weighted_opponent_response(
     # .die_tables); each scan iteration gathers its two dies from the [6]
     # axis. The doubles scan reuses the root tables as its level-1 input.
     s1_all, b1_all = movegen2.die_tables(boards, opp_k)
+    # Root opponent-side context per die: the reply pass's second-ply table
+    # only needs validity, so each scan iteration runs the mover-side-only
+    # slot_valid against the root ctx of its second die instead of a full
+    # slot_table over every (candidate, first-submove-child) board.
+    ctx_all = movegen2.die_ctxs(boards, opp_k)
     take_die = lambda t, i: jax.tree.map(lambda a: jnp.take(a, i, axis=0), t)
 
     def chunks(*arrs):
@@ -213,10 +218,12 @@ def weighted_opponent_response(
         d_hi = jnp.broadcast_to((hi + 1)[lead], (c, *batch_shape))
         d_lo = jnp.broadcast_to((lo + 1)[lead], (c, *batch_shape))
         pa = movegen2._run_pass_pre(
-            take_die(s1_all, hi), take_die(b1_all, hi), opp_k[None], d_lo
+            take_die(s1_all, hi), take_die(b1_all, hi), opp_k[None], d_lo,
+            ctx=take_die(ctx_all, lo),
         )
         pb = movegen2._run_pass_pre(
-            take_die(s1_all, lo), take_die(b1_all, lo), opp_k[None], d_hi
+            take_die(s1_all, lo), take_die(b1_all, lo), opp_k[None], d_hi,
+            ctx=take_die(ctx_all, hi),
         )
         ms = movegen2.enumerate_nondoubles_batched(
             bc, opp_k[None], dice, mg, passes=(pa, pb)
