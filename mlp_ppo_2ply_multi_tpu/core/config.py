@@ -259,6 +259,20 @@ class TwoPlyConfig:
     # program already fills the chip at rerank batch >= ~4k rows); raise it
     # only for small-batch interactive use.
     roll_chunk: int = 1
+    # Value-first dedup for non-double replies (0 disables): the scorer only
+    # needs the top-5 DISTINCT reply values, and duplicate boards carry
+    # bit-equal values — so instead of the reference-order first-occurrence
+    # dedup over all reply_a_max slots (an O(A^2) Gram + epilogue per roll),
+    # take the top-M replies BY VALUE, dedup just those (O(M^2)), and keep
+    # the max-submove filter exact via the closed-form has_pair
+    # (movegen2.nd_has_pair_exact). Exact whenever >= top_n_responses of the
+    # top-M survive dedup — i.e. unless > M - top_n_responses of the M
+    # highest-valued replies are duplicates; games where that fails are
+    # flagged (scorer inexact flag). Must be >= top_n_responses. Sizing: a
+    # submove pair legal in both orders is enumerated by BOTH passes, so
+    # typical duplicate multiplicity is 2 (occasionally 3+ via leapfrog
+    # collisions); 16 covers multiplicity 3 for the top 5.
+    value_first_m: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

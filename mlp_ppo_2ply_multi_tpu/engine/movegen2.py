@@ -69,6 +69,7 @@ from mlp_ppo_2ply_multi_tpu.engine.movegen import (
     board_take_onehot,
     board_where,
     ctx_entry_axis,
+    farthest_point,
     slot_ctx,
     slot_params,
     slot_table,
@@ -256,7 +257,7 @@ def die_ctxs(board: Board, player: jax.Array) -> SlotCtx:
     return slot_ctx(b6, p6, d6)
 
 
-def _nd_tail(
+def _nd_tail_front(
     b1a: Board,
     b1b: Board,
     valid: jax.Array,
@@ -264,13 +265,11 @@ def _nd_tail(
     d_hi: jax.Array,
     d_lo: jax.Array,
     K: int,
-    a_max: int,
 ) -> Tuple[Board, jax.Array, jax.Array]:
-    """The width-K back half of non-doubles enumeration: compact the valid
-    candidate cells, materialize afterstates, first-occurrence dedup,
-    max-submove filter, Q7 cap. Exact for any game whose pre-dedup candidate
-    count is <= K. Returns (afterstates [..., K], keep mask, pre-cap survivor
-    total)."""
+    """Compaction half of the non-doubles tail: select the first K valid
+    candidate cells in insertion order and materialize their afterstates.
+    Returns (afterstates [..., K], kok presence mask, kpair "is a 2-submove
+    move" mask) — no dedup, no max-submove filter, no Q7 cap."""
     valid2 = valid.reshape(*valid.shape[:-1], 2 * (N_SLOTS + 1), N_SLOTS)
     blk, loc, kok, _ = _select_set_bits_blocked(valid2, K)
     cpass = (blk >= N_SLOTS + 1).astype(jnp.int32)
@@ -290,6 +289,25 @@ def _nd_tail(
     s2, e2, h2 = slot_params(first, player[..., None], d_second, jnp.maximum(cj, 0))
     app = kok & (cj >= 0)
     after = apply_submove(first, player[..., None], s2, e2, h2, app)
+    return after, kok, cj >= 0
+
+
+def _nd_tail(
+    b1a: Board,
+    b1b: Board,
+    valid: jax.Array,
+    player: jax.Array,
+    d_hi: jax.Array,
+    d_lo: jax.Array,
+    K: int,
+    a_max: int,
+) -> Tuple[Board, jax.Array, jax.Array]:
+    """The width-K back half of non-doubles enumeration: compact the valid
+    candidate cells, materialize afterstates, first-occurrence dedup,
+    max-submove filter, Q7 cap. Exact for any game whose pre-dedup candidate
+    count is <= K. Returns (afterstates [..., K], keep mask, pre-cap survivor
+    total)."""
+    after, kok, kpair = _nd_tail_front(b1a, b1b, valid, player, d_hi, d_lo, K)
 
     # First-occurrence dedup — the reference's shared seen-set
     # (handle_move_types.py:196-221) — by exact pairwise board equality.
@@ -298,7 +316,6 @@ def _nd_tail(
 
     # max-submove filter AFTER dedup (generate_all_moves.py:69-90): if any
     # surviving candidate is a 2-submove pair, all singles drop.
-    kpair = cj >= 0
     has_pair = jnp.any(keep & kpair, axis=-1)
     keep = keep & (kpair | ~has_pair[..., None])
 
@@ -439,6 +456,107 @@ def enumerate_nondoubles(
         # the Q7 presented-action cap
         overflow = (n_pre > K) | (pct > cfg.a_max)
     return MoveSet(boards=after, valid=keep, count=_popcount(keep), overflow=overflow)
+
+
+class RawMoves(NamedTuple):
+    """Undeduped non-doubles afterstates for top-k-BY-VALUE consumers (the
+    2-ply scorer): every valid candidate cell in insertion order — no
+    first-occurrence dedup, no max-submove filter, no Q7 cap — plus the
+    EXACT post-dedup ``has_pair`` bit those filters would have produced
+    (closed form, nd_has_pair_exact). Duplicates carry bit-equal boards and
+    therefore bit-equal values, so consumers that only need the top-N
+    DISTINCT values can dedup after a top-M value select at M^2 cost instead
+    of K^2."""
+
+    boards: Board  # [..., K]
+    valid: jax.Array  # bool[..., K] presence (insertion order)
+    kpair: jax.Array  # bool[..., K] candidate is a 2-submove move
+    has_pair: jax.Array  # bool[...] exact max-submove filter bit
+    overflow: jax.Array  # bool[...] more than K pre-dedup candidates
+
+
+def nd_has_pair_exact(pa: _Pass, pvB: jax.Array) -> jax.Array:
+    """Exact "some 2-submove move survives the reference's first-occurrence
+    dedup" — WITHOUT running the dedup. This is the bit the max-submove
+    filter consumes (generate_all_moves.py:69-90 against the shared seen-set
+    of handle_move_types.py:196-221). ``pvB`` is the skip-masked pass-B pair
+    grid (reverse-order skip applied, generate_all_moves.py:40-50).
+
+    Equal to ``any_pair_A | any(pvB)`` — i.e. dedup can never eliminate ALL
+    pairs while leaving singles. Proof sketch:
+
+    * Pass-A pairs are the earliest candidates in insertion order, so any
+      valid one survives dedup (first occurrence).
+    * A pass-B pair can be dropped only against an EARLIER equal board; with
+      no A-pairs, the earlier candidates are exactly the pass-A singles. A
+      2-submove board equals a 1-submove board only via a CHAINED BEAR-OFF:
+      net cell deltas {i1-, e1+, i2-, e2+} collapse to a single's {s-, e+}
+      only when e1 == i2 (same-direction movement excludes every other
+      cancellation), an in-board chain moves d_lo + d_hi pips vs the
+      single's d_hi (only a BEAR_OFF end absorbs the difference), and the
+      matching single is then "bear off from s = i1 with d_hi" — which must
+      itself be a valid, emitted pass-A single.
+    * But such a collapse implies has_pair is already decided: the chain
+      needs s -> s+d_lo open on the root, and the only A-single that removes
+      the checker at s is that same bear-off (a normal hi-move from
+      s = exact/farthest-overage origin leaves the board, and the two
+      bear-off slots have distinct origins). So EVERY other A-single's child
+      still contains s with s+d_lo open — an A-pair, contradicting "no
+      A-pairs". Hence either the bear-off from s is the ONLY A-single (the
+      reverse-order skip zeroes pass B entirely) or an A-pair exists. In the
+      branch where any(pvB) matters, no B-pair can collapse.
+
+    Validated against the oracle's actual move lists over random and
+    constructed bear-off positions (tests/test_twoply_valuefirst.py).
+    """
+    return pa.any_pair | jnp.any(pvB, axis=(-1, -2))
+
+
+def enumerate_nondoubles_raw(
+    board: Board,
+    player: jax.Array,
+    dice: jax.Array,
+    K: int,
+    passes: Tuple[_Pass, _Pass] = None,
+) -> RawMoves:
+    """Non-doubles enumeration WITHOUT the dedup/filter/cap tail (see
+    RawMoves); candidate order is still exact reference insertion order."""
+    pa, pb, valid, d_hi, d_lo = _nd_candidates(board, player, dice, passes)
+    after, kok, kpair = _nd_tail_front(
+        pa.b1, pb.b1, valid, player, d_hi, d_lo, K
+    )
+    skip_b = (~pa.any_pair) & (_popcount(pa.single_valid) == 1)
+    pvB = pb.pair_valid & ~skip_b[..., None, None]
+    has_pair = nd_has_pair_exact(pa, pvB)
+    return RawMoves(after, kok, kpair, has_pair, _popcount(valid) > K)
+
+
+def enumerate_nondoubles_raw_batched(
+    board: Board,
+    player: jax.Array,
+    dice: jax.Array,
+    K: int,
+    passes: Tuple[_Pass, _Pass] = None,
+) -> RawMoves:
+    """enumerate_nondoubles_raw over an arbitrary batch shape (the 2-ply
+    scorer's [chunk, ..., K-candidates] fan-out)."""
+    bs = board.batch_shape
+    n = int(np.prod(bs)) if bs else 1
+    flat = lambda t: jax.tree.map(lambda a: a.reshape(n, *a.shape[len(bs):]), t)
+    fb = flat(board)
+    fp = jnp.broadcast_to(player, bs).reshape(n)
+    fd = jnp.broadcast_to(dice, (*bs, 2)).reshape(n, 2)
+    fpasses = None if passes is None else (flat(passes[0]), flat(passes[1]))
+    raw = enumerate_nondoubles_raw(fb, fp, fd, K, fpasses)
+    return RawMoves(
+        boards=jax.tree.map(
+            lambda x: x.reshape(*bs, K, *x.shape[2:]), raw.boards
+        ),
+        valid=raw.valid.reshape(*bs, K),
+        kpair=raw.kpair.reshape(*bs, K),
+        has_pair=raw.has_pair.reshape(bs),
+        overflow=raw.overflow.reshape(bs),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,11 @@ import numpy as np
 
 from mlp_ppo_2ply_multi_tpu.core.config import Config, MoveGenConfig
 from mlp_ppo_2ply_multi_tpu.encoder.features import encode_board
-from mlp_ppo_2ply_multi_tpu.engine.movegen import MoveSet, board_take
+from mlp_ppo_2ply_multi_tpu.engine.movegen import (
+    MoveSet,
+    board_take,
+    board_take_onehot,
+)
 from mlp_ppo_2ply_multi_tpu.env import vec_env
 from mlp_ppo_2ply_multi_tpu.model import value_net
 
@@ -124,12 +128,15 @@ def reply_movegen_cfg(cfg: Config) -> MoveGenConfig:
 
 
 def weighted_opponent_response(
-    params, boards, opp: jax.Array, cfg: Config
+    params, boards, opp: jax.Array, cfg: Config, return_flags: bool = False
 ) -> jax.Array:
     """E[opponent response] per candidate board (two_ply.py:93-150).
 
     ``boards`` batch shape [..., K] (candidate afterstates), ``opp`` int[...].
-    Returns float32[..., K].
+    Returns float32[..., K] (and, with ``return_flags``, a bool[..., K]
+    "inexact" flag — True where the value-first dedup's top-M window or the
+    reply_a_max cap may have truncated the true top-5; see
+    TwoPlyConfig.value_first_m).
 
     The 15 non-double rolls and 6 double rolls run as separate scans so each
     evaluates only its own enumeration path (a combined scan would compute
@@ -137,6 +144,7 @@ def weighted_opponent_response(
     ~2x the device time).
     """
     from mlp_ppo_2ply_multi_tpu.engine import movegen2
+    from mlp_ppo_2ply_multi_tpu.engine.board import pack_board
 
     mg = reply_movegen_cfg(cfg)
     opp_k = opp[..., None]  # [..., 1] broadcasts over K
@@ -165,6 +173,47 @@ def weighted_opponent_response(
         return jnp.sum(
             jnp.where(has_reply, avg * probs_c[lead[:-1]], 0.0), axis=0
         )
+
+    def score_raw(raw, probs_c):
+        """Value-first scoring of an undeduped reply set (RawMoves): values
+        over all present candidates (max-submove filter applied via the
+        exact closed-form has_pair), top-M by value, dedup only those M
+        boards, mean of the first top_n distinct. Exact unless more than
+        M - top_n of the M highest-valued replies are duplicates (flagged).
+        Duplicates carry bit-equal values, and value ties at the top_n
+        boundary cannot change the MEAN, so the result equals the
+        reference-order dedup path whenever the flag is clear."""
+        m = cfg.twoply.value_first_m
+        assert m >= topn, "value_first_m must cover top_n_responses"
+        lead = (slice(None),) + (None,) * (raw.valid.ndim - 1)
+        vmask = raw.valid & (raw.kpair | ~raw.has_pair[..., None])
+        v = oriented_values(params, raw.boards, opp_k[..., None], cfg)
+        v = jnp.where(vmask, v, _NEG)
+        top, ti = topk_small(v, m)  # [C, ..., K, m]
+        ok = top > _NEG / 2
+        dup = movegen2._dup_earlier_mask(
+            pack_board(board_take_onehot(raw.boards, ti)), ok
+        )
+        surv = ok & ~dup
+        rank = jnp.cumsum(surv.astype(jnp.int32), axis=-1)
+        use = surv & (rank <= topn)
+        n = jnp.maximum(jnp.sum(use.astype(jnp.float32), axis=-1), 1.0)
+        avg = jnp.sum(jnp.where(use, top, 0.0), axis=-1) / n
+        has_reply = jnp.any(vmask, axis=-1)
+        n_present = jnp.sum(vmask.astype(jnp.int32), axis=-1)
+        # Flags only the NEW failure mode of this path: more than m - top_n
+        # of the m highest-valued replies were duplicates. raw.overflow (the
+        # pre-dedup candidate count exceeding reply_a_max) is the same
+        # truncation class the reference-order path has always had at this
+        # cap and is deliberately NOT folded in — both paths truncate that
+        # tail identically (probe_reply_widths.py sizes the cap).
+        inexact = (n_present > m) & (
+            jnp.sum(surv.astype(jnp.int32), axis=-1) < topn
+        )
+        total = jnp.sum(
+            jnp.where(has_reply, avg * probs_c[lead[:-1]], 0.0), axis=0
+        )
+        return total, jnp.any(inexact, axis=0)
 
     nd_mask = ROLLS[:, 0] != ROLLS[:, 1]
     batch_shape = boards.batch_shape
@@ -205,9 +254,13 @@ def weighted_opponent_response(
         ROLLS[~nd_mask][:, 0], PROBS[~nd_mask], SMALL_DOUBLE[~nd_mask]
     )
 
-    init = jnp.zeros(batch_shape, jnp.float32)
+    init = (
+        jnp.zeros(batch_shape, jnp.float32),
+        jnp.zeros(batch_shape, bool),
+    )
 
-    def per_nd(total, xs):
+    def per_nd(carry, xs):
+        total, flg = carry
         rolls_c, probs_c = xs  # [C, 2], [C]
         dice = jnp.broadcast_to(
             rolls_c[:, None, None, :], (c, *batch_shape, 2)
@@ -225,23 +278,32 @@ def weighted_opponent_response(
             take_die(s1_all, lo), take_die(b1_all, lo), opp_k[None], d_hi,
             ctx=take_die(ctx_all, hi),
         )
+        if cfg.twoply.value_first_m:
+            raw = movegen2.enumerate_nondoubles_raw_batched(
+                bc, opp_k[None], dice, mg.a_max, passes=(pa, pb)
+            )
+            t, ix = score_raw(raw, probs_c)
+            return (total + t, flg | ix), None
         ms = movegen2.enumerate_nondoubles_batched(
             bc, opp_k[None], dice, mg, passes=(pa, pb)
         )
         no_cap = jnp.zeros((c,), bool)
-        return total + score_moveset(ms, probs_c, no_cap), None
+        return (total + score_moveset(ms, probs_c, no_cap), flg), None
 
-    def per_dd(total, xs):
+    def per_dd(carry, xs):
+        total, flg = carry
         dies_c, probs_c, small_c = xs
         die = jnp.broadcast_to(dies_c[:, None, None], (c, *batch_shape))
         ms = movegen2.enumerate_doubles_batched(
             bc, opp_k[None], die, mg, s1=take_die(s1_all, dies_c - 1)
         )
-        return total + score_moveset(ms, probs_c, small_c), None
+        return (total + score_moveset(ms, probs_c, small_c), flg), None
 
-    total, _ = jax.lax.scan(per_nd, init, (nd_rolls, nd_probs))
-    total, _ = jax.lax.scan(per_dd, total, (dd_dies, dd_probs, dd_small))
-    return total
+    (total, flags), _ = jax.lax.scan(per_nd, init, (nd_rolls, nd_probs))
+    (total, flags), _ = jax.lax.scan(
+        per_dd, (total, flags), (dd_dies, dd_probs, dd_small)
+    )
+    return (total, flags) if return_flags else total
 
 
 def select_action_2ply(

@@ -74,9 +74,17 @@ def variant_cfg(name: str) -> Config:
         )
     if name == "twoply":
         return cfg.replace(twoply=TwoPlyConfig(enabled=True))
+    if name == "twoply_vf0":
+        # value-first dedup OFF: the round-2 reference-order dedup path
+        return cfg.replace(twoply=TwoPlyConfig(enabled=True, value_first_m=0))
     if name == "twoply_tier":
+        # the two-tier reply tail lives in the reference-order path, which
+        # value-first dedup bypasses — disable it so the tier is measured
         return cfg.replace(
-            twoply=TwoPlyConfig(enabled=True, reply_nd_tier=96, reply_wide_div=2)
+            twoply=TwoPlyConfig(
+                enabled=True, value_first_m=0, reply_nd_tier=96,
+                reply_wide_div=2,
+            )
         )
     raise SystemExit(f"unknown variant {name}")
 
@@ -89,7 +97,10 @@ def main():
     ap.add_argument("--twoply-steps", type=int, default=8)
     ap.add_argument(
         "--variants",
-        default="prod,tier0,tiered,prod@8192,tiered@8192,twoply,twoply_tier",
+        default=(
+            "prod,tier0,tiered,prod@8192,tiered@8192,"
+            "twoply,twoply_vf0,twoply_tier,twoply@4096"
+        ),
     )
     args = ap.parse_args()
 

@@ -81,10 +81,10 @@ def main():
             print(f"{run} ep{eps}: {wr:.3f} ({fin}/{args.games} finished, "
                   f"{time.time()-t0:.0f}s)", flush=True)
         out[run] = curve
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(out, f, indent=1)
-        print(f"wrote {args.out}")
+        if args.out:  # incremental: a crash on a later run keeps earlier curves
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=1)
+            print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -42,7 +42,7 @@ run 07 ourrun_s0 14400 python scripts/run_parity_trainer.py --episodes 20000 --s
 run 08 ourrun_s1 14400 python scripts/run_parity_trainer.py --episodes 20000 --seed 1 --ckpt-every 2000 --out /tmp/ourrun_s1_tpu
 
 # 6. curve eval for all four runs at 1000 games/point on the batched engine
-run 09 curves 7200 python scripts/eval_curve_tpu.py --games 1000 --out /tmp/curves_r3.json /tmp/refrun_s0 /tmp/refrun_s1 /tmp/ourrun_s0_tpu /tmp/ourrun_s1_tpu
+run 09 curves 10800 python scripts/eval_curve_tpu.py --games 1000 --out /tmp/curves_r3.json /tmp/refrun_s0 /tmp/refrun_s1 /tmp/ourrun_s0_tpu /tmp/ourrun_s1_tpu /tmp/ourrun_s0 /tmp/ourrun_s1
 
 # 7. fast-vs-full quality experiment (same seed/budget; ~8.2M episodes each)
 run 10 prod_fast 7200 python -m mlp_ppo_2ply_multi_tpu.apps.train --mode continuous --production --td-mode side0 --batch-games 4096 --updates 2000 --steps-per-update 64 --seed 11 --checkpoint-dir /tmp/ck_fast_s11 --metrics-dir /tmp/runs_fast_s11 --log-every 100

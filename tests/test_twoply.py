@@ -171,7 +171,10 @@ def test_reply_tier_matches_untired():
     single-pass scorer."""
     cfg0 = Config(
         movegen=MoveGenConfig(algo="canonical", dd_subbatch_div=0),
-        twoply=TwoPlyConfig(enabled=True),
+        # value_first_m=0: the tier branch lives in the reference-order
+        # dedup path, which value-first dedup (its own exactness test in
+        # test_twoply_valuefirst.py) would otherwise bypass entirely
+        twoply=TwoPlyConfig(enabled=True, value_first_m=0),
     )
     cfg_t = dataclasses.replace(
         cfg0,
