@@ -128,6 +128,17 @@ class MoveGenConfig:
     # full-width pass.
     nd_tier: int = 0
     nd_wide_div: int = 8
+    # Canonical engine: first-occurrence dedup via canonical delta SIGNATURES
+    # instead of the board-Gram matmul. A candidate's afterstate differs from
+    # the root by (net mover cell-delta multiset, hit-cell multiset), both
+    # computable from its <= 2 submove (start, end, hit) params; packed into
+    # one int32, signature equality <=> board equality BY CONSTRUCTION (the
+    # signature IS the delta in canonical form — leapfrogs, chains, bear-off
+    # collapses and hit bookkeeping all fall out, no pattern enumeration).
+    # Replaces pack_board + the [.., K, K] Gram (the top device-trace op,
+    # ~1.8ms/step at B=4096) with an int compare. False = Gram path
+    # (movegen2._dup_earlier_mask), kept for A/B and as a fallback.
+    nd_sig_dedup: bool = True
     # Two-tier doubles expansion inside legal_moves' compacted sub-batch:
     # when non-empty, (t2, t3, t4) narrow level widths run for EVERY doubles
     # game (exact whenever no level overflows — every _expand reports

@@ -257,7 +257,61 @@ def die_ctxs(board: Board, player: jax.Array) -> SlotCtx:
     return slot_ctx(b6, p6, d6)
 
 
+_SIG_SENT = jnp.int32(31)  # sorts after every real cell id (0..25)
+
+
+def _submove_sig(s1, e1, h1, s2, e2, h2, is_pair) -> jax.Array:
+    """Canonical afterstate signature of a 1- or 2-submove candidate, packed
+    into one int32: signature equality <=> afterstate equality (on a shared
+    root board). The afterstate is root + (net mover cell-delta multiset) +
+    (hit-cell multiset: opp -1 there, opp bar +1 each), and both multisets
+    are computed here in canonical (sorted, sentinel-padded) form:
+
+    * mover delta: cells {s1-, e1+, s2-, e2+}. A cell appearing as both a
+      start and an end cancels; same-direction movement makes s1==e1,
+      s2==e2, and (s1==e2 & s2==e1) impossible, so the only cancellations
+      are s2==e1 (chain: the second submove continues from the first's
+      endpoint cell) and s1==e2 (refill: the second lands on the vacated
+      origin) — never both. This collapses chains/leapfrogs/bear-off
+      collapses to their net delta with no pattern analysis: the docstring's
+      leapfrog (6->8, 8->9*) == (7->9*, 6->7) both canonicalize to
+      minus{6} plus{9} hits{9}.
+    * hits: recorded at e1/e2 when flagged, independent of cancellation (a
+      chained-through hit still removes the blot).
+
+    Layout: 6 five-bit lanes (minus-lo, minus-hi, plus-lo, plus-hi, hit-lo,
+    hit-hi), sentinel 31 = absent; 30 bits total.
+    """
+    pair = is_pair
+    cancel1 = pair & (s1 == e2)
+    cancel2 = pair & (s2 == e1)
+    both = pair & ~cancel1 & ~cancel2
+    m1 = jnp.where(cancel1, s2, s1)
+    m2 = jnp.where(both, s2, _SIG_SENT)
+    p1 = jnp.where(cancel2, e2, e1)
+    p2 = jnp.where(both, e2, _SIG_SENT)
+    t1 = jnp.where(h1, e1, _SIG_SENT)
+    t2 = jnp.where(pair & h2, e2, _SIG_SENT)
+    mlo, mhi = jnp.minimum(m1, m2), jnp.maximum(m1, m2)
+    plo, phi = jnp.minimum(p1, p2), jnp.maximum(p1, p2)
+    tlo, thi = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+    sig = mlo
+    for lane in (mhi, plo, phi, tlo, thi):
+        sig = sig * 32 + lane
+    return sig
+
+
+def _dup_earlier_sig(sig: jax.Array, ok: jax.Array) -> jax.Array:
+    """dup[i] = exists valid j < i with identical signature — the signature
+    form of _dup_earlier_mask (no board packing, no Gram matmul)."""
+    k = sig.shape[-1]
+    eq = sig[..., :, None] == sig[..., None, :]
+    earlier = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1)
+    return jnp.any(eq & earlier & ok[..., None, :], axis=-1)
+
+
 def _nd_tail_front(
+    b0: Board,
     b1a: Board,
     b1b: Board,
     valid: jax.Array,
@@ -265,11 +319,13 @@ def _nd_tail_front(
     d_hi: jax.Array,
     d_lo: jax.Array,
     K: int,
-) -> Tuple[Board, jax.Array, jax.Array]:
+) -> Tuple[Board, jax.Array, jax.Array, jax.Array]:
     """Compaction half of the non-doubles tail: select the first K valid
     candidate cells in insertion order and materialize their afterstates.
     Returns (afterstates [..., K], kok presence mask, kpair "is a 2-submove
-    move" mask) — no dedup, no max-submove filter, no Q7 cap."""
+    move" mask, canonical delta signature int32[..., K]) — no dedup, no
+    max-submove filter, no Q7 cap. ``b0`` is the root board (first-submove
+    params are recomputed on it for the signature)."""
     valid2 = valid.reshape(*valid.shape[:-1], 2 * (N_SLOTS + 1), N_SLOTS)
     blk, loc, kok, _ = _select_set_bits_blocked(valid2, K)
     cpass = (blk >= N_SLOTS + 1).astype(jnp.int32)
@@ -289,10 +345,18 @@ def _nd_tail_front(
     s2, e2, h2 = slot_params(first, player[..., None], d_second, jnp.maximum(cj, 0))
     app = kok & (cj >= 0)
     after = apply_submove(first, player[..., None], s2, e2, h2, app)
-    return after, kok, cj >= 0
+
+    # first-submove params on the (broadcast) root board -> delta signature
+    d_first = jnp.where(cpass == 0, d_hi[..., None], d_lo[..., None])
+    s1, e1, h1 = slot_params(
+        board_expand(b0, K), player[..., None], d_first, ci
+    )
+    sig = _submove_sig(s1, e1, h1, s2, e2, h2, app)
+    return after, kok, cj >= 0, sig
 
 
 def _nd_tail(
+    b0: Board,
     b1a: Board,
     b1b: Board,
     valid: jax.Array,
@@ -301,17 +365,25 @@ def _nd_tail(
     d_lo: jax.Array,
     K: int,
     a_max: int,
+    sig_dedup: bool = True,
 ) -> Tuple[Board, jax.Array, jax.Array]:
     """The width-K back half of non-doubles enumeration: compact the valid
     candidate cells, materialize afterstates, first-occurrence dedup,
     max-submove filter, Q7 cap. Exact for any game whose pre-dedup candidate
     count is <= K. Returns (afterstates [..., K], keep mask, pre-cap survivor
     total)."""
-    after, kok, kpair = _nd_tail_front(b1a, b1b, valid, player, d_hi, d_lo, K)
+    after, kok, kpair, sig = _nd_tail_front(
+        b0, b1a, b1b, valid, player, d_hi, d_lo, K
+    )
 
     # First-occurrence dedup — the reference's shared seen-set
-    # (handle_move_types.py:196-221) — by exact pairwise board equality.
-    dup = _dup_earlier_mask(pack_board(after), kok)
+    # (handle_move_types.py:196-221) — by exact pairwise afterstate equality:
+    # canonical delta signatures (MoveGenConfig.nd_sig_dedup) or the board
+    # Gram fallback.
+    if sig_dedup:
+        dup = _dup_earlier_sig(sig, kok)
+    else:
+        dup = _dup_earlier_mask(pack_board(after), kok)
     keep = kok & ~dup
 
     # max-submove filter AFTER dedup (generate_all_moves.py:69-90): if any
@@ -415,13 +487,15 @@ def enumerate_nondoubles(
         # the same surfaced-truncation class as the Q7 cap.
         n = valid.shape[0]
         after_n, keep_n, pct_n = _nd_tail(
-            pa.b1, pb.b1, valid, player, d_hi, d_lo, T, cfg.a_max
+            board, pa.b1, pb.b1, valid, player, d_hi, d_lo, T, cfg.a_max,
+            cfg.nd_sig_dedup,
         )
         wide = n_pre > T
         wn = max(8, n // cfg.nd_wide_div)
         sel, sel_ok = _select_set_bits(wide, wn)
         valid_w = jnp.take(valid, sel, axis=0) & sel_ok[:, None]
         after_w, keep_w, pct_w = _nd_tail(
+            _flat_take0(board, sel),
             _flat_take0(pa.b1, sel),
             _flat_take0(pb.b1, sel),
             valid_w,
@@ -430,6 +504,7 @@ def enumerate_nondoubles(
             jnp.take(d_lo, sel),
             K,
             cfg.a_max,
+            cfg.nd_sig_dedup,
         )
         rank = jnp.cumsum(wide.astype(jnp.int32)) - 1
         in_sub = wide & (rank < wn)
@@ -450,7 +525,8 @@ def enumerate_nondoubles(
         overflow = (in_sub & ((n_pre > K) | (pct > cfg.a_max))) | dropped
     else:
         after, keep, pct = _nd_tail(
-            pa.b1, pb.b1, valid, player, d_hi, d_lo, K, cfg.a_max
+            board, pa.b1, pb.b1, valid, player, d_hi, d_lo, K, cfg.a_max,
+            cfg.nd_sig_dedup,
         )
         # truncation observability: candidates lost to the dedup-slot cap or
         # the Q7 presented-action cap
@@ -473,6 +549,7 @@ class RawMoves(NamedTuple):
     kpair: jax.Array  # bool[..., K] candidate is a 2-submove move
     has_pair: jax.Array  # bool[...] exact max-submove filter bit
     overflow: jax.Array  # bool[...] more than K pre-dedup candidates
+    sig: jax.Array  # int32[..., K] canonical delta signature (_submove_sig)
 
 
 def nd_has_pair_exact(pa: _Pass, pvB: jax.Array) -> jax.Array:
@@ -522,13 +599,13 @@ def enumerate_nondoubles_raw(
     """Non-doubles enumeration WITHOUT the dedup/filter/cap tail (see
     RawMoves); candidate order is still exact reference insertion order."""
     pa, pb, valid, d_hi, d_lo = _nd_candidates(board, player, dice, passes)
-    after, kok, kpair = _nd_tail_front(
-        pa.b1, pb.b1, valid, player, d_hi, d_lo, K
+    after, kok, kpair, sig = _nd_tail_front(
+        board, pa.b1, pb.b1, valid, player, d_hi, d_lo, K
     )
     skip_b = (~pa.any_pair) & (_popcount(pa.single_valid) == 1)
     pvB = pb.pair_valid & ~skip_b[..., None, None]
     has_pair = nd_has_pair_exact(pa, pvB)
-    return RawMoves(after, kok, kpair, has_pair, _popcount(valid) > K)
+    return RawMoves(after, kok, kpair, has_pair, _popcount(valid) > K, sig)
 
 
 def enumerate_nondoubles_raw_batched(
@@ -556,6 +633,7 @@ def enumerate_nondoubles_raw_batched(
         kpair=raw.kpair.reshape(*bs, K),
         has_pair=raw.has_pair.reshape(bs),
         overflow=raw.overflow.reshape(bs),
+        sig=raw.sig.reshape(*bs, K),
     )
 
 
@@ -1015,7 +1093,8 @@ def legal_moves_tiered(
     pa, pb, valid, d_hi, d_lo = _nd_candidates(board, player, dice)
     n_pre = _popcount(valid)
     after_n, keep_n, _ = _nd_tail(
-        pa.b1, pb.b1, valid, player, d_hi, d_lo, T, cfg.a_max
+        board, pa.b1, pb.b1, valid, player, d_hi, d_lo, T, cfg.a_max,
+        cfg.nd_sig_dedup,
     )
     nd_wide = ~is_dd & (n_pre > T)
 

@@ -191,9 +191,20 @@ def weighted_opponent_response(
         v = jnp.where(vmask, v, _NEG)
         top, ti = topk_small(v, m)  # [C, ..., K, m]
         ok = top > _NEG / 2
-        dup = movegen2._dup_earlier_mask(
-            pack_board(board_take_onehot(raw.boards, ti)), ok
-        )
+        if cfg.movegen.nd_sig_dedup:
+            # canonical delta signatures: dedup the top-M via an int compare
+            # (one-hot take of an int32 lane instead of boards+pack+Gram)
+            oh = ti[..., :, None] == jnp.arange(
+                raw.sig.shape[-1], dtype=jnp.int32
+            )
+            sig_m = jnp.sum(
+                jnp.where(oh, raw.sig[..., None, :], 0), axis=-1
+            )
+            dup = movegen2._dup_earlier_sig(sig_m, ok)
+        else:
+            dup = movegen2._dup_earlier_mask(
+                pack_board(board_take_onehot(raw.boards, ti)), ok
+            )
         surv = ok & ~dup
         rank = jnp.cumsum(surv.astype(jnp.int32), axis=-1)
         use = surv & (rank <= topn)

@@ -72,6 +72,13 @@ def variant_cfg(name: str) -> Config:
                 cfg.movegen, tiered=True, dd_tier=(48, 96, 96)
             )
         )
+    if name == "prod_gram":
+        # A/B: board-Gram first-occurrence dedup instead of delta signatures
+        import dataclasses
+
+        return cfg.replace(
+            movegen=dataclasses.replace(cfg.movegen, nd_sig_dedup=False)
+        )
     if name == "twoply":
         return cfg.replace(twoply=TwoPlyConfig(enabled=True))
     if name == "twoply_vf0":
@@ -98,7 +105,7 @@ def main():
     ap.add_argument(
         "--variants",
         default=(
-            "prod,tier0,tiered,prod@8192,tiered@8192,"
+            "prod,prod_gram,tier0,tiered,prod@8192,tiered@8192,"
             "twoply,twoply_vf0,twoply_tier,twoply@4096"
         ),
     )
