@@ -283,7 +283,11 @@ class TwoPlyConfig:
     # submove pair legal in both orders is enumerated by BOTH passes, so
     # typical duplicate multiplicity is 2 (occasionally 3+ via leapfrog
     # collisions); 16 covers multiplicity 3 for the top 5.
-    value_first_m: int = 16
+    # DEFAULT 0 (off): the TPU A/B (bench_r2_sweep twoply vs twoply_vf0,
+    # v5e B=1024) measured value-first at 9.1k env-steps/s vs 11.0k plain —
+    # the per-roll top-M select + one-hot regather costs more than the sig-
+    # dedup it avoids. Kept as an option; exactness test stays green.
+    value_first_m: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

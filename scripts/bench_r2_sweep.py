@@ -72,6 +72,25 @@ def variant_cfg(name: str) -> Config:
                 cfg.movegen, tiered=True, dd_tier=(48, 96, 96)
             )
         )
+    if name.startswith("prod_dd"):
+        # dd_tier two-tier doubles expansion alone (no tiered pipeline);
+        # widths from the name: prod_dd48x96x96 -> (48, 96, 96)
+        import dataclasses
+
+        widths = tuple(
+            int(w) for w in (name[len("prod_dd"):] or "48x96x96").split("x")
+        )
+        return cfg.replace(
+            movegen=dataclasses.replace(cfg.movegen, dd_tier=widths)
+        )
+    if name == "prod_notier":
+        # A/B: actor two-tier candidate evaluation OFF (all a_max slots
+        # through the fused kernel) — re-validates the round-2 win per chip
+        import dataclasses
+
+        return cfg.replace(
+            model=dataclasses.replace(cfg.model, actor_tier_width=0)
+        )
     if name == "prod_gram":
         # A/B: board-Gram first-occurrence dedup instead of delta signatures
         import dataclasses
@@ -84,6 +103,9 @@ def variant_cfg(name: str) -> Config:
     if name == "twoply_vf0":
         # value-first dedup OFF: the round-2 reference-order dedup path
         return cfg.replace(twoply=TwoPlyConfig(enabled=True, value_first_m=0))
+    if name == "twoply_vf16":
+        # value-first dedup ON (lost the TPU A/B 9.1k vs 11.0k; default off)
+        return cfg.replace(twoply=TwoPlyConfig(enabled=True, value_first_m=16))
     if name == "twoply_tier":
         # the two-tier reply tail lives in the reference-order path, which
         # value-first dedup bypasses — disable it so the tier is measured
