@@ -29,6 +29,12 @@ B = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
 mode = sys.argv[3] if len(sys.argv) > 3 else "base"
 STEPS = 48
 
+if "rbg" in mode:
+    # A/B the raw-bit-generator PRNG: categorical sampling + per-step splits
+    # draw ~[B, a_max] bits/step; threefry generates them with many int
+    # rounds, rbg uses the hardware RNG instruction.
+    jax.config.update("jax_default_prng_impl", "rbg")
+
 cfg = variant_cfg(name)
 key = jax.random.PRNGKey(0)
 params = td.init_train_state(key, cfg).params

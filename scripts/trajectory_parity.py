@@ -20,6 +20,11 @@ Usage:
   python scripts/trajectory_parity.py jax  [--games 4096] [--out F] [--chunk 2048]
   python scripts/trajectory_parity.py compare REF_F JAX_F
 
+BOTH sides must run with the SAME --games: fixed_streams(games) sizes its
+rng draws by the game count, so transcripts captured at different scopes see
+entirely different dice/action streams and share zero games. (--chunk only
+tiles the jax side's execution and never changes the streams.)
+
 The `ref` side is single-core Python+torch (hours at 4096 games; run it
 nice'd in the background). The `jax` side is minutes on a TPU chip.
 """
@@ -215,6 +220,11 @@ def compare(ref_path: str, jax_path: str) -> None:
     load = lambda p: {r["g"]: r for r in map(json.loads, open(p))}
     ref, jx = load(ref_path), load(jax_path)
     games = sorted(set(ref) & set(jx))
+    if not games:
+        raise SystemExit(
+            f"no overlapping games: {ref_path} has {len(ref)}, "
+            f"{jax_path} has {len(jx)} — refusing to write a 0-game artifact"
+        )
     match = [g for g in games if ref[g]["hash"] == jx[g]["hash"]]
     mismatch = [g for g in games if ref[g]["hash"] != jx[g]["hash"]]
     digest = hashlib.sha256(
