@@ -99,11 +99,11 @@ def main():
             "episodes": eps,
             "win_rate_vs_random": wins / max(finished, 1),
             "finished": finished,
-            "games": args.games,
+            "games": 2 * half,  # actual games played (odd --games rounds down)
         }
         out.setdefault(run, []).append(rec)
         print(f"{run} ep{eps}: {rec['win_rate_vs_random']:.3f} "
-              f"({finished}/{args.games} finished)", flush=True)
+              f"({finished}/{2 * half} finished)", flush=True)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)

@@ -77,8 +77,8 @@ def main():
             eps = int(re.search(r"ep(\d+)", os.path.basename(path)).group(1))
             wr, fin = winrate(params, args.seed + 7919 * (i + 1))
             curve.append({"episodes": eps, "win_rate_vs_random": wr,
-                          "finished": fin, "games": args.games})
-            print(f"{run} ep{eps}: {wr:.3f} ({fin}/{args.games} finished, "
+                          "finished": fin, "games": 2 * half})
+            print(f"{run} ep{eps}: {wr:.3f} ({fin}/{2 * half} finished, "
                   f"{time.time()-t0:.0f}s)", flush=True)
         out[run] = curve
         if args.out:  # incremental: a crash on a later run keeps earlier curves
