@@ -89,6 +89,24 @@ def production_config() -> Config:
     )
 
 
+def production_twoply_config() -> Config:
+    """Production actor config + the tuned 2-ply scorer: unrolled rolls and
+    per-die doubles reply widths (small doubles carry the reference's
+    50-reply cap, Q13, so a 64-wide enumeration covers it; big doubles keep
+    the 128 cap; level-width truncation surfaces via the scorer flag).
+    Measured at B=1024 on v5e: 92.2 -> 81.6 ms/step vs the round-3 scan
+    scorer (probe_twoply_phases / PERF.md round 4)."""
+    import dataclasses
+
+    from mlp_ppo_2ply_multi_tpu.core.config import TwoPlyConfig
+
+    tw = TwoPlyConfig(
+        enabled=True,
+        dd_reply_widths=((64, 96, 64, 64),) * 3 + ((64, 128, 128, 128),) * 3,
+    )
+    return production_config().replace(twoply=tw)
+
+
 def main() -> None:
     on_accel = jax.default_backend() not in ("cpu",)
     if on_accel:

@@ -270,6 +270,24 @@ class TwoPlyConfig:
     # program already fills the chip at rerank batch >= ~4k rows); raise it
     # only for small-batch interactive use.
     roll_chunk: int = 1
+    # Unroll the 21 per-roll reply evaluations into one flat program instead
+    # of two lax.scans: a scan SERIALIZES iterations, while the unrolled
+    # graph lets XLA overlap independent rolls' fusions and hoist
+    # roll-invariant work. Identical numerics (same accumulation order).
+    # Requires roll_chunk <= 1 and value_first_m == 0; those paths keep the
+    # scan. Compiles ~21x more HLO for the scorer body.
+    unroll_rolls: bool = True
+    # Per-die doubles reply widths, dies 1..6 -> (w2, w3, w4, a_max); ()
+    # keeps reply_movegen_cfg's uniform widths. Only read by the unrolled
+    # scorer (each die is a static program there). Motivation: the one-hot
+    # take at [rows, K, W] is the dominant movegen cost and scales K*W,
+    # while per-die reply frontiers differ wildly (probe_reply_widths:
+    # presented p99 at [1,1]=298-capped-at-50 ... [6,6]=115). Dies 1-3 carry
+    # the reference's 50-reply cap (Q13), so a_max=64 covers the cap
+    # exactly; any level-frontier overflow beyond these widths is surfaced
+    # via the scorer's inexact flag — the same truncation class as
+    # reply_a_max itself.
+    dd_reply_widths: Tuple[Tuple[int, int, int, int], ...] = ()
     # Value-first dedup for non-double replies (0 disables): the scorer only
     # needs the top-5 DISTINCT reply values, and duplicate boards carry
     # bit-equal values — so instead of the reference-order first-occurrence

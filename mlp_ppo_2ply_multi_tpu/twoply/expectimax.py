@@ -228,6 +228,15 @@ def weighted_opponent_response(
 
     nd_mask = ROLLS[:, 0] != ROLLS[:, 1]
     batch_shape = boards.batch_shape
+
+    if (
+        cfg.twoply.unroll_rolls
+        and cfg.twoply.roll_chunk <= 1
+        and not cfg.twoply.value_first_m
+    ):
+        out = _wor_unrolled(params, boards, opp, cfg, mg, topn, cap)
+        return out if return_flags else out[0]
+
     c = max(1, cfg.twoply.roll_chunk)
     bc = jax.tree.map(
         lambda a: jnp.broadcast_to(a[None], (c, *a.shape)), boards
@@ -315,6 +324,88 @@ def weighted_opponent_response(
         per_dd, (total, flags), (dd_dies, dd_probs, dd_small)
     )
     return (total, flags) if return_flags else total
+
+
+def _wor_unrolled(
+    params, boards, opp: jax.Array, cfg: Config, mg: MoveGenConfig, topn, cap
+) -> Tuple[jax.Array, jax.Array]:
+    """Unrolled-roll variant of weighted_opponent_response (see
+    TwoPlyConfig.unroll_rolls): the 15 non-double + 6 double reply
+    evaluations emit as one flat program — XLA overlaps independent rolls'
+    fusions instead of serializing them through a lax.scan carry — with the
+    SAME per-roll math and the same accumulation order (score contributions
+    add in ROLLS order), so results are bit-identical to the scan path at
+    equal widths (tests/test_twoply_unroll.py).
+
+    When TwoPlyConfig.dd_reply_widths is set, each double's enumeration
+    runs at its own static widths; truncation beyond them surfaces through
+    the returned inexact flag (OR of the narrow MoveSet.overflow)."""
+    from mlp_ppo_2ply_multi_tpu.engine import movegen2
+
+    opp_k = opp[..., None]
+    batch_shape = boards.batch_shape
+
+    def score_one(ms, prob: float, cap_active: bool) -> jax.Array:
+        valid = ms.valid
+        if cap_active:
+            rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
+            valid = valid & (rank <= cap)
+        v = oriented_values(params, ms.boards, opp_k[..., None], cfg)
+        v = jnp.where(valid, v, _NEG)
+        top, _ = topk_small(v, topn)
+        present = top > _NEG / 2
+        n = jnp.maximum(jnp.sum(present.astype(jnp.float32), axis=-1), 1.0)
+        avg = jnp.sum(jnp.where(present, top, 0.0), axis=-1) / n
+        has_reply = jnp.any(valid, axis=-1)
+        return jnp.where(has_reply, avg * prob, 0.0)
+
+    s1_all, b1_all = movegen2.die_tables(boards, opp_k)
+    ctx_all = movegen2.die_ctxs(boards, opp_k)
+    at = lambda t, i: jax.tree.map(lambda a: a[i], t)
+
+    total = jnp.zeros(batch_shape, jnp.float32)
+    flags = jnp.zeros(batch_shape, bool)
+    # all 15 non-doubles first, then the 6 doubles — the same accumulation
+    # order as the scan path, so the f32 total is bit-identical to it
+    order = sorted(range(len(ROLLS)), key=lambda i: ROLLS[i, 0] == ROLLS[i, 1])
+    for i in order:
+        (r0, r1), prob = ROLLS[i].tolist(), float(PROBS[i])
+        if r0 != r1:
+            hi, lo = max(r0, r1), min(r0, r1)
+            d_hi = jnp.full(batch_shape, hi, jnp.int32)
+            d_lo = jnp.full(batch_shape, lo, jnp.int32)
+            pa = movegen2._run_pass_pre(
+                at(s1_all, hi - 1), at(b1_all, hi - 1), opp_k, d_lo,
+                ctx=at(ctx_all, lo - 1),
+            )
+            pb = movegen2._run_pass_pre(
+                at(s1_all, lo - 1), at(b1_all, lo - 1), opp_k, d_hi,
+                ctx=at(ctx_all, hi - 1),
+            )
+            dice = jnp.broadcast_to(
+                jnp.asarray([r0, r1], jnp.int32), (*batch_shape, 2)
+            )
+            ms = movegen2.enumerate_nondoubles_batched(
+                boards, opp_k, dice, mg, passes=(pa, pb)
+            )
+            total = total + score_one(ms, prob, False)
+        else:
+            if cfg.twoply.dd_reply_widths:
+                w2, w3, w4, am = cfg.twoply.dd_reply_widths[r0 - 1]
+                mgd = dataclasses.replace(
+                    mg, w2=w2, w3=w3, w4=w4, a_max=am,
+                    nd_dedup_k=min(mg.nd_dedup_k, am),
+                )
+            else:
+                mgd = mg
+            die = jnp.full(batch_shape, r0, jnp.int32)
+            ms = movegen2.enumerate_doubles_batched(
+                boards, opp_k, die, mgd, s1=at(s1_all, r0 - 1)
+            )
+            total = total + score_one(ms, prob, r0 <= 3)
+            if cfg.twoply.dd_reply_widths and ms.overflow is not None:
+                flags = flags | ms.overflow
+    return total, flags
 
 
 def select_action_2ply(

@@ -18,10 +18,15 @@ from mlp_ppo_2ply_multi_tpu.learner import td
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    from bench import production_config
+    from bench import production_config, production_twoply_config
 
-    # production actor config (fast widths, bf16, fused kernel) + 2-ply on
-    cfg = production_config().replace(twoply=TwoPlyConfig(enabled=True))
+    # production actor config (fast widths, bf16, fused kernel) + the tuned
+    # 2-ply scorer (unrolled rolls, per-die doubles widths); pass "plain" as
+    # argv[3] for the untuned scan scorer
+    if len(sys.argv) > 3 and sys.argv[3] == "plain":
+        cfg = production_config().replace(twoply=TwoPlyConfig(enabled=True))
+    else:
+        cfg = production_twoply_config()
     key = jax.random.PRNGKey(0)
     params = td.init_train_state(key, cfg).params
     state = vec_env.reset(jax.random.fold_in(key, 1), batch)

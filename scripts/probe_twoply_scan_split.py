@@ -63,6 +63,14 @@ def scan_body(only, score):
             lead = (slice(None),) + (None,) * (ms.valid.ndim - 1)
             rank = jnp.cumsum(ms.valid.astype(jnp.int32), axis=-1)
             valid = ms.valid & ((rank <= cap) | ~cap_active[lead])
+            if score == "boards":
+                # keep board merges live, skip value+topk
+                return jnp.sum(
+                    ms.boards.data.astype(jnp.float32).sum(-1) * valid, axis=(0, -1)
+                )
+            if score == "value":
+                v = tp.oriented_values(params, ms.boards, opp_k[..., None], cfg)
+                return jnp.sum(jnp.where(valid, v, 0.0), axis=(0, -1))
             if not score:
                 return jnp.sum(valid.astype(jnp.float32), axis=(0, -1))
             v = tp.oriented_values(params, ms.boards, opp_k[..., None], cfg)
@@ -133,6 +141,7 @@ def scan_body(only, score):
 def run(fn, *args, iters=20):
     out = fn(*args)
     jax.block_until_ready(out)
+    print("result sample:", jax.numpy.ravel(out)[:3])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
@@ -145,6 +154,10 @@ table = {
     "dd": ("dd", True),
     "nd_enum": ("nd", False),
     "dd_enum": ("dd", False),
+    "dd_boards": ("dd", "boards"),
+    "dd_value": ("dd", "value"),
+    "nd_boards": ("nd", "boards"),
+    "nd_value": ("nd", "value"),
     "both": ("both", True),
 }
 only, score = table[PHASE]
