@@ -103,6 +103,11 @@ def production_twoply_config() -> Config:
     tw = TwoPlyConfig(
         enabled=True,
         dd_reply_widths=((64, 96, 64, 64),) * 3 + ((64, 128, 128, 128),) * 3,
+        # nd replies at width 96 (default 128): measured on 4096 live
+        # (game, candidate) rows, 3.1% of E[opp] scores change at all, max
+        # |delta| 0.0017 on a [0.16, 1.11] score scale — far below the
+        # sampling temperature; truncation stays flag-visible. +8% step rate.
+        reply_a_max=96,
     )
     return production_config().replace(twoply=tw)
 

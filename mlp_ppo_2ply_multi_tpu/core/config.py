@@ -288,6 +288,16 @@ class TwoPlyConfig:
     # via the scorer's inexact flag — the same truncation class as
     # reply_a_max itself.
     dd_reply_widths: Tuple[Tuple[int, int, int, int], ...] = ()
+    # Per-roll non-doubles reply dedup/present widths, one int per nd roll in
+    # ROLLS order ((1,2),(1,3),(1,4),(1,5),(1,6),(2,3),(2,4),(2,5),(2,6),
+    # (3,4),(3,5),(3,6),(4,5),(4,6),(5,6)); () keeps reply_a_max for all.
+    # Only read by the unrolled scorer. Sizing: per-roll PRE-dedup counts
+    # (probe_reply_widths, randomized play) run p99 91-122 depending on the
+    # roll — low rolls enumerate wider — while presented maxima stay <= 81.
+    # Truncation beyond a roll's width drops the latest-enumerated
+    # candidates (the reference's own Q7 class) and surfaces via the scorer
+    # inexact flag.
+    nd_reply_widths: Tuple[int, ...] = ()
     # Value-first dedup for non-double replies (0 disables): the scorer only
     # needs the top-5 DISTINCT reply values, and duplicate boards carry
     # bit-equal values — so instead of the reference-order first-occurrence

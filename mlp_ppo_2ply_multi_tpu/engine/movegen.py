@@ -98,12 +98,15 @@ def _shift_by_die(arr: jax.Array, d8: jax.Array, sign8: jax.Array) -> jax.Array:
 
 
 def _at_static_lane(arr: jax.Array, idx: jax.Array, candidates) -> jax.Array:
-    """arr[..., idx] where idx takes one of a few static values: a
-    select-chain over static lane reads instead of a dynamic gather."""
-    out = jnp.zeros(arr.shape[:-1], arr.dtype)
-    for c in candidates:
-        out = jnp.where(idx == c, arr[..., c], out)
-    return out
+    """arr[..., idx] without a dynamic gather: a one-hot masked reduce over
+    the lane axis. (``candidates`` kept for call-site documentation; the
+    reduce covers all lanes.) The earlier per-candidate select-chain emitted
+    one relayout copy PER candidate lane — ~230 copy ops per 2-ply step in
+    the compiled HLO; this form fuses into a single reduce."""
+    lanes = jnp.arange(arr.shape[-1], dtype=idx.dtype)
+    return jnp.sum(
+        jnp.where(idx[..., None] == lanes, arr, 0), axis=-1, dtype=arr.dtype
+    )
 
 
 def slot_table(board: Board, player: jax.Array, die: jax.Array) -> SlotTable:
@@ -252,27 +255,39 @@ def ctx_entry_axis(ctx: SlotCtx) -> SlotCtx:
     )
 
 
-def slot_valid(
-    board: Board, player: jax.Array, die: jax.Array, ctx: SlotCtx
-) -> Tuple[jax.Array, jax.Array]:
-    """Validity bits of ``slot_table(board, player, die).valid`` with the
-    opponent-side tests supplied by a SlotCtx built on the turn's root —
-    bit-exact for any board reachable from that root within the turn, at a
-    fraction of the cost (no per-board die shifts or opponent lane reads).
+class SlotStats(NamedTuple):
+    """Die-INDEPENDENT mover-side board statistics consumed by slot_valid:
+    computing them once per board and combining with several dice
+    (slot_valid_stats) removes the dominant recomputation when the same
+    child set is tested against many dice — the 2-ply scorer tests each
+    first-die child set against 5 second dice (10 slot_valid calls per set
+    across the 15 non-double rolls)."""
 
-    Returns (valid bool[..., 27], last8 int8[...] — the farthest occupied
-    home point, which slot-rank computations need for slot 25).
-    """
-    bs = board.batch_shape
+    own: jax.Array  # int8[..., 24]
+    kind: jax.Array  # int8[...]
+    last8: jax.Array  # int8[...] farthest occupied home point
+
+
+def slot_stats(board: Board, player: jax.Array) -> SlotStats:
+    return SlotStats(
+        own=player_points(board, player),
+        kind=board_state_kind(board, player),
+        last8=farthest_point(board, player),
+    )
+
+
+def slot_valid_stats(
+    stats: SlotStats, player: jax.Array, die: jax.Array, ctx: SlotCtx
+) -> Tuple[jax.Array, jax.Array]:
+    """slot_valid from precomputed SlotStats (see slot_valid)."""
+    bs = stats.kind.shape
     p8 = jnp.broadcast_to(player.astype(jnp.int8), bs)
     d8 = jnp.broadcast_to(die.astype(jnp.int8), bs)
-    own = player_points(board, player)
-    kind = board_state_kind(board, player)
+    own, kind, last8 = stats.own, stats.kind, stats.last8
 
     normal_ok = ((kind == 0) | (kind == 2))[..., None] & (own > 0) & ctx.move_ok
     bar_ok = (kind == 1) & ctx.entry_free
 
-    last8 = farthest_point(board, player)
     over_ok = (kind == 2) & jnp.where(
         p8 == 0, last8 + d8 >= NUM_POINTS, last8 - d8 < 0
     )
@@ -286,6 +301,20 @@ def slot_valid(
         axis=-1,
     )
     return valid, last8
+
+
+def slot_valid(
+    board: Board, player: jax.Array, die: jax.Array, ctx: SlotCtx
+) -> Tuple[jax.Array, jax.Array]:
+    """Validity bits of ``slot_table(board, player, die).valid`` with the
+    opponent-side tests supplied by a SlotCtx built on the turn's root —
+    bit-exact for any board reachable from that root within the turn, at a
+    fraction of the cost (no per-board die shifts or opponent lane reads).
+
+    Returns (valid bool[..., 27], last8 int8[...] — the farthest occupied
+    home point, which slot-rank computations need for slot 25).
+    """
+    return slot_valid_stats(slot_stats(board, player), player, die, ctx)
 
 
 def farthest_point(board: Board, player: jax.Array) -> jax.Array:

@@ -196,16 +196,27 @@ class _Pass(NamedTuple):
 
 
 def _run_pass_pre(
-    s1: SlotTable, b1: Board, player, d_second, ctx: SlotCtx = None
+    s1: SlotTable, b1: Board, player, d_second, ctx: SlotCtx = None,
+    stats=None,
 ) -> _Pass:
     """Pass from a precomputed first-die slot table + children (die_tables).
 
     The second-ply table is needed only for VALIDITY (the tail rebuilds
     submove params arithmetically on selected cells), so with a root SlotCtx
     for ``d_second`` it runs as the cheap mover-side-only slot_valid; without
-    one it falls back to the full slot_table."""
+    one it falls back to the full slot_table. ``stats`` additionally supplies
+    the children's die-independent SlotStats (movegen.slot_stats) so callers
+    that test the SAME child set against several second dice — the 2-ply
+    scorer — pay for them once."""
+    from mlp_ppo_2ply_multi_tpu.engine.movegen import slot_valid_stats
+
     p27 = player[..., None]
-    if ctx is None:
+    if stats is not None:
+        assert ctx is not None
+        s2_valid, _ = slot_valid_stats(
+            stats, p27, d_second[..., None], ctx_entry_axis(ctx)
+        )
+    elif ctx is None:
         s2_valid = slot_table(b1, p27, d_second[..., None]).valid
     else:
         s2_valid, _ = slot_valid(b1, p27, d_second[..., None], ctx_entry_axis(ctx))

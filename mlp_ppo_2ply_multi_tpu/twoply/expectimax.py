@@ -361,6 +361,12 @@ def _wor_unrolled(
 
     s1_all, b1_all = movegen2.die_tables(boards, opp_k)
     ctx_all = movegen2.die_ctxs(boards, opp_k)
+    # die-independent mover-side stats of each first-die child set, computed
+    # once instead of per (first-die, second-die) pair (10 slot_valid calls
+    # per set across the 15 nd rolls recompute them otherwise)
+    from mlp_ppo_2ply_multi_tpu.engine.movegen import slot_stats
+
+    stats_all = slot_stats(b1_all, opp_k[None, ..., None])
     at = lambda t, i: jax.tree.map(lambda a: a[i], t)
 
     total = jnp.zeros(batch_shape, jnp.float32)
@@ -368,6 +374,7 @@ def _wor_unrolled(
     # all 15 non-doubles first, then the 6 doubles — the same accumulation
     # order as the scan path, so the f32 total is bit-identical to it
     order = sorted(range(len(ROLLS)), key=lambda i: ROLLS[i, 0] == ROLLS[i, 1])
+    nd_pos = 0
     for i in order:
         (r0, r1), prob = ROLLS[i].tolist(), float(PROBS[i])
         if r0 != r1:
@@ -376,19 +383,27 @@ def _wor_unrolled(
             d_lo = jnp.full(batch_shape, lo, jnp.int32)
             pa = movegen2._run_pass_pre(
                 at(s1_all, hi - 1), at(b1_all, hi - 1), opp_k, d_lo,
-                ctx=at(ctx_all, lo - 1),
+                ctx=at(ctx_all, lo - 1), stats=at(stats_all, hi - 1),
             )
             pb = movegen2._run_pass_pre(
                 at(s1_all, lo - 1), at(b1_all, lo - 1), opp_k, d_hi,
-                ctx=at(ctx_all, hi - 1),
+                ctx=at(ctx_all, hi - 1), stats=at(stats_all, lo - 1),
             )
             dice = jnp.broadcast_to(
                 jnp.asarray([r0, r1], jnp.int32), (*batch_shape, 2)
             )
+            if cfg.twoply.nd_reply_widths:
+                k = cfg.twoply.nd_reply_widths[nd_pos]
+                mgr = dataclasses.replace(mg, nd_dedup_k=k, a_max=k)
+            else:
+                mgr = mg
+            nd_pos += 1
             ms = movegen2.enumerate_nondoubles_batched(
-                boards, opp_k, dice, mg, passes=(pa, pb)
+                boards, opp_k, dice, mgr, passes=(pa, pb)
             )
             total = total + score_one(ms, prob, False)
+            if cfg.twoply.nd_reply_widths and ms.overflow is not None:
+                flags = flags | ms.overflow
         else:
             if cfg.twoply.dd_reply_widths:
                 w2, w3, w4, am = cfg.twoply.dd_reply_widths[r0 - 1]
