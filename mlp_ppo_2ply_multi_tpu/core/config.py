@@ -139,6 +139,14 @@ class MoveGenConfig:
     # ~1.8ms/step at B=4096) with an int compare. False = Gram path
     # (movegen2._dup_earlier_mask), kept for A/B and as a fallback.
     nd_sig_dedup: bool = True
+    # Run the non-doubles tail (select/take/apply/signature/dedup/filters,
+    # movegen2._nd_tail) as ONE fused Pallas kernel with all intermediates
+    # in VMEM (ops/nd_tail.py) instead of the ~40-fusion XLA chain. Requires
+    # nd_sig_dedup; applies to the single-pass (non-tier) tail on flat
+    # batches — the 2-ply scorer's reply enumeration. Bit-identical keep
+    # masks / counts; afterstates identical at kept slots
+    # (tests/test_nd_tail_kernel.py).
+    nd_tail_kernel: bool = False
     # Two-tier doubles expansion inside legal_moves' compacted sub-batch:
     # when non-empty, (t2, t3, t4) narrow level widths run for EVERY doubles
     # game (exact whenever no level overflows — every _expand reports

@@ -534,6 +534,23 @@ def enumerate_nondoubles(
         pct = jnp.where(in_sub, jnp.take(pct_w, slot), pct_n)
         dropped = wide & ~in_sub
         overflow = (in_sub & ((n_pre > K) | (pct > cfg.a_max))) | dropped
+    elif cfg.nd_tail_kernel and cfg.nd_sig_dedup and valid.ndim == 2:
+        from mlp_ppo_2ply_multi_tpu.ops.nd_tail import nd_tail_fused
+
+        after_d, keep, n_pre_k, pct, _ = nd_tail_fused(
+            valid,
+            pa.b1.data,
+            pb.b1.data,
+            board.data,
+            jnp.broadcast_to(player, board.batch_shape),
+            jnp.broadcast_to(d_hi, board.batch_shape),
+            jnp.broadcast_to(d_lo, board.batch_shape),
+            K,
+            cfg.a_max,
+            interpret=jax.default_backend() == "cpu",
+        )
+        after = Board(data=after_d)
+        overflow = (n_pre_k > K) | (pct > cfg.a_max)
     else:
         after, keep, pct = _nd_tail(
             board, pa.b1, pb.b1, valid, player, d_hi, d_lo, K, cfg.a_max,
