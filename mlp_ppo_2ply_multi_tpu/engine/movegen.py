@@ -98,15 +98,19 @@ def _shift_by_die(arr: jax.Array, d8: jax.Array, sign8: jax.Array) -> jax.Array:
 
 
 def _at_static_lane(arr: jax.Array, idx: jax.Array, candidates) -> jax.Array:
-    """arr[..., idx] without a dynamic gather: a one-hot masked reduce over
-    the lane axis. (``candidates`` kept for call-site documentation; the
-    reduce covers all lanes.) The earlier per-candidate select-chain emitted
-    one relayout copy PER candidate lane — ~230 copy ops per 2-ply step in
-    the compiled HLO; this form fuses into a single reduce."""
-    lanes = jnp.arange(arr.shape[-1], dtype=idx.dtype)
-    return jnp.sum(
-        jnp.where(idx[..., None] == lanes, arr, 0), axis=-1, dtype=arr.dtype
-    )
+    """arr[..., idx] where idx takes one of a few static values: a
+    select-chain over static lane reads instead of a dynamic gather.
+
+    MEASURED (round 4): a one-hot lane REDUCE looks cleaner in the HLO
+    (removes ~230 tiny relayout copies per 2-ply step) but costs the 1-ply
+    production bench 32% (492k -> 334k env-steps/s at B=4096) — the int
+    reduce over the padded 128-lane axis is far more VPU work than the
+    12-candidate select-chain, and the copies it removed were
+    schedule-absorbed anyway. Keep the chain."""
+    out = jnp.zeros(arr.shape[:-1], arr.dtype)
+    for c in candidates:
+        out = jnp.where(idx == c, arr[..., c], out)
+    return out
 
 
 def slot_table(board: Board, player: jax.Array, die: jax.Array) -> SlotTable:
