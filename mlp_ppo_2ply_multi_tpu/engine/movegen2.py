@@ -197,7 +197,7 @@ class _Pass(NamedTuple):
 
 def _run_pass_pre(
     s1: SlotTable, b1: Board, player, d_second, ctx: SlotCtx = None,
-    stats=None,
+    stats=None, s2_valid=None,
 ) -> _Pass:
     """Pass from a precomputed first-die slot table + children (die_tables).
 
@@ -211,7 +211,9 @@ def _run_pass_pre(
     from mlp_ppo_2ply_multi_tpu.engine.movegen import slot_valid_stats
 
     p27 = player[..., None]
-    if stats is not None:
+    if s2_valid is not None:
+        pass  # caller supplies the grid (batched across rolls upstream)
+    elif stats is not None:
         assert ctx is not None
         s2_valid, _ = slot_valid_stats(
             stats, p27, d_second[..., None], ctx_entry_axis(ctx)

@@ -368,6 +368,12 @@ def _wor_unrolled(
 
     stats_all = slot_stats(b1_all, opp_k[None, ..., None])
     at = lambda t, i: jax.tree.map(lambda a: a[i], t)
+    # NEGATIVE (round 4): precomputing all 30 (first-die, second-die)
+    # s2_valid grids in ONE batched slot_valid_stats call ([30,B,K,27,27],
+    # ~90MB) measured ~4ms/step SLOWER than the per-roll recompute below —
+    # the HBM materialization + per-roll reads lose to XLA fusing the
+    # (cheap) stats->valid combine into each roll's consumers.
+    # _run_pass_pre(s2_valid=...) remains for future experiments.
 
     total = jnp.zeros(batch_shape, jnp.float32)
     flags = jnp.zeros(batch_shape, bool)
