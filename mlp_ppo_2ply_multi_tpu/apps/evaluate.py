@@ -46,6 +46,12 @@ def main(argv=None) -> int:
     ap.add_argument("--max-steps", type=int, default=400)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--agent-policy", choices=("greedy", "twoply"), default="greedy")
+    ap.add_argument("--twoply-tuned", action="store_true",
+                    help="use the tuned production 2-ply scorer (unrolled "
+                         "rolls, per-die doubles widths, width-96 nd "
+                         "replies — bench.production_twoply_config) for "
+                         "BOTH sides' twoply policies instead of the exact "
+                         "default scorer")
     ap.add_argument("--small-movegen", action="store_true")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                     help="force a JAX backend (must be set before first use)")
@@ -66,8 +72,19 @@ def main(argv=None) -> int:
     from mlp_ppo_2ply_multi_tpu.core.config import TrainConfig
 
     def make_cfg(td_mode):
+        if args.twoply_tuned:
+            # mirror bench.production_twoply_config's scorer (inlined: the
+            # installed package cannot import the repo-root bench module)
+            tw = TwoPlyConfig(
+                enabled=True,
+                dd_reply_widths=((64, 96, 64, 64),) * 3
+                + ((64, 128, 128, 128),) * 3,
+                reply_a_max=96,
+            )
+        else:
+            tw = TwoPlyConfig(enabled=True)
         c = Config(
-            twoply=TwoPlyConfig(enabled=True),
+            twoply=tw,
             train=TrainConfig(td_mode=td_mode),
         )
         if args.small_movegen:
