@@ -100,6 +100,17 @@ def variant_cfg(name: str) -> Config:
         )
     if name == "twoply":
         return cfg.replace(twoply=TwoPlyConfig(enabled=True))
+    if name == "twoply_tuned":
+        # round-4 production scorer: unrolled rolls + per-die dd widths +
+        # width-96 nd replies (the 14.3k env-steps/s headline)
+        from bench import production_twoply_config
+
+        return production_twoply_config()
+    if name == "twoply_scan":
+        # round-3 scan scorer (unroll OFF) for cross-round A/B
+        return cfg.replace(
+            twoply=TwoPlyConfig(enabled=True, unroll_rolls=False)
+        )
     if name == "twoply_vf0":
         # value-first dedup OFF: the round-2 reference-order dedup path
         return cfg.replace(twoply=TwoPlyConfig(enabled=True, value_first_m=0))

@@ -30,12 +30,12 @@ run 01 bench_2ply 2400 python scripts/bench_twoply.py 1024 24
 #    take against the XLA bf16 einsum (scripts/probe_pallas_batched_dot.py
 #    has the harness; add variants). Every flat profile bottoms out here.
 
-# 5. Quality guard for the round-4 scorer approximations (width-96 nd
-#    replies + per-die dd widths): wire a --twoply-tuned flag into
-#    apps/evaluate (production_twoply_config's scorer), then arena
-#    tuned-2-ply vs exact-2-ply on the same checkpoint
-#    (side0_20480000.pth, 1024 games). The score-delta quantification
-#    (max |d| .0017, 3.1% of rows) predicts a null result; this closes it
-#    at the win-rate level.
+# 5. DONE in round 4: apps/evaluate --twoply-tuned exists and the quality
+#    guard ran — tuned 2-ply beat 1-ply greedy 58.0% (n=1024) vs the exact
+#    scorer's 56.0%: no strength cost (RESULTS.md "2-ply vs 1-ply").
+# 6. dd score-level merge (item 2): evidence update — with per-die widths
+#    the level/merge chain is down to ~4-6ms while scoring all four level
+#    sets costs ~+4-6ms of extra value rows: expected NET ~zero. Deprioritize
+#    unless a trace shows otherwise.
 
 echo "DOCKET 5 SEED COMPLETE $(date)" | tee -a /tmp/docket5/driver.log
