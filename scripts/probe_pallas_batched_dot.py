@@ -2,8 +2,10 @@
 batched per-row one-hot take ([R, K, W] @ [R, W, 52]) inside one pallas_call,
 and how fast vs the XLA einsum? Also probes a fori_loop-of-2D-dots fallback.
 
-Usage: python scripts/probe_pallas_batched_dot.py [mode] [R]
-  mode: batched | loop | xla
+Usage: python scripts/probe_pallas_batched_dot.py [mode] [N] [R]
+  mode: one of the keys of the `fm` dispatch dict at the bottom of this file
+        (batched | loop | xla | bf16acc | int8 | int8acc | f32 | packed |
+         ohonly | dotonly | bf16T | bdiag4 | bdiag8 | bdiag16 | gather | fused)
 """
 import sys
 import time
@@ -151,9 +153,9 @@ def take_packed(boards, parent):
     # pack 3 int8 cells (values in [0,16)) into one bf16 lane via base-32
     # digits: bf16 mantissa (8 bits) holds ints <= 256 exactly... too small.
     # use f32 lanes: 4 base-32 digits = 20 bits < 24-bit mantissa. C 52 -> 13.
-    CP = 13
+    CP = -(-C // 4)  # ceil(C/4); pad lanes must decode to the +16 bias below
     b = boards.astype(jnp.float32)
-    pad = jnp.zeros((N, W, CP * 4 - C), jnp.float32)
+    pad = jnp.full((N, W, CP * 4 - C), 16.0, jnp.float32)
     bp = jnp.concatenate([b + 16.0, pad], axis=-1).reshape(N, W, CP, 4)
     scale = jnp.asarray([1.0, 32.0, 32.0 ** 2, 32.0 ** 3], jnp.float32)
     packed = (bp * scale).sum(-1)  # [N, W, 13]
@@ -173,9 +175,6 @@ def oh_only(boards, parent):
     # cost of materializing + streaming the one-hot alone (reduce to keep it live)
     oh = (parent[..., None] == jnp.arange(W, dtype=jnp.int32)).astype(jnp.bfloat16)
     return oh.sum(axis=-1)
-
-
-_oh_pre = None
 
 
 @jax.jit

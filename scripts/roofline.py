@@ -1,0 +1,217 @@
+"""Roofline / MFU verdict for the production 1-ply step and the 2-ply step.
+
+VERDICT round-4 item 1: nobody can currently say whether 503k env-steps/s is
+the v5e envelope or 30% of it. This script answers that with three numbers
+per workload:
+
+  1. measured wall ms/step (same timing discipline as bench.py),
+  2. XLA cost-analysis FLOPs and HBM bytes for the compiled step,
+  3. achieved FLOP/s and GB/s as fractions of BOTH the v5e datasheet peaks
+     (197 bf16 TFLOP/s, 819 GB/s HBM) AND empirically measured chip peaks
+     (a large bf16 matmul for FLOPs; a large f32 copy for bandwidth) so the
+     verdict doesn't hinge on datasheet optimism through the tunnel backend.
+
+Replaces the reference's NVML utilization prints (trainer.py:54-62,170-184)
+with an actual roofline: the reference HAD a utilization metric; this repo
+now does too (bench.py emits mfu/achieved_bw_frac from the same machinery).
+
+Usage: python scripts/roofline.py [oneply|twoply|peaks|all]
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+V5E_PEAK_TFLOPS_BF16 = 197.0
+V5E_PEAK_HBM_GBS = 819.0
+
+
+def measure_peak_flops() -> float:
+    """Empirical bf16 matmul ceiling (TFLOP/s) on this chip."""
+    n = 8192
+    a = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a, b):
+        # chain 4 matmuls so dispatch overhead amortizes
+        x = a
+        for _ in range(4):
+            x = jnp.dot(x, b, preferred_element_type=jnp.bfloat16)
+        return x
+
+    mm(a, b).block_until_ready()
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        r = mm(a, b)
+    r.block_until_ready()
+    dt = time.perf_counter() - t0
+    flops = 2 * n * n * n * 4 * reps
+    return flops / dt / 1e12
+
+
+def measure_peak_bw() -> float:
+    """Empirical HBM bandwidth ceiling (GB/s): big f32 add (2 reads+1 write)."""
+    n = 256 * 1024 * 1024 // 4  # 256MB per operand
+    a = jnp.ones((n,), jnp.float32)
+    b = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def add(a, b):
+        return a + b
+
+    add(a, b).block_until_ready()
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        r = add(a, b)
+    r.block_until_ready()
+    dt = time.perf_counter() - t0
+    gbytes = 3 * n * 4 * reps / 1e9
+    return gbytes / dt
+
+
+def analyze(name: str, make_step, state, keys, batch: int, steps_per_disp: int):
+    """Compile, cost-analyze, and time one jitted step function."""
+    step = make_step()
+    lowered = step.lower(state, keys[0])
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax returns [dict]
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+    # breakdown: operand/output bytes where available
+    detail = {
+        k: float(v)
+        for k, v in ca.items()
+        if isinstance(v, (int, float)) and ("bytes" in k or k in ("flops", "transcendentals"))
+    }
+
+    # warm + time (bench.py discipline: host fetch to defeat async-through-tunnel)
+    st = state
+    for i in range(3):
+        st = compiled(st, keys[i])
+    jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, jax.tree.leaves(st)[0])
+    n = min(30, len(keys) - 3)
+    t0 = time.perf_counter()
+    for i in range(n):
+        st = compiled(st, keys[3 + i])
+    np.asarray(jax.tree.leaves(st)[0])
+    dt = time.perf_counter() - t0
+    ms_per_disp = dt / n * 1e3
+    ms_per_step = ms_per_disp / steps_per_disp
+
+    t_disp = dt / n
+    achieved_tflops = flops / t_disp / 1e12
+    achieved_gbs = bytes_acc / t_disp / 1e9
+    return {
+        "workload": name,
+        "batch": batch,
+        "ms_per_step": round(ms_per_step, 3),
+        "env_steps_per_s": round(batch / (ms_per_step / 1e3), 1),
+        "flops_per_disp": flops,
+        "hbm_bytes_per_disp": bytes_acc,
+        "achieved_tflops": round(achieved_tflops, 2),
+        "achieved_gbs": round(achieved_gbs, 1),
+        "mfu_vs_datasheet": round(achieved_tflops / V5E_PEAK_TFLOPS_BF16, 4),
+        "bw_frac_vs_datasheet": round(achieved_gbs / V5E_PEAK_HBM_GBS, 4),
+        "cost_detail": detail,
+    }
+
+
+def oneply():
+    from bench import production_config
+    from mlp_ppo_2ply_multi_tpu.actor import rollout as actor
+    from mlp_ppo_2ply_multi_tpu.env import vec_env
+    from mlp_ppo_2ply_multi_tpu.learner import td
+
+    cfg = production_config()
+    batch, chunk = 4096, 4
+    key = jax.random.PRNGKey(0)
+    params = td.init_train_state(key, cfg).params
+    state = vec_env.reset(jax.random.fold_in(key, 1), batch)
+    temp = td.temperature(jnp.zeros((), jnp.int32), cfg)
+
+    def make_step():
+        def step_fn(state, key):
+            def body(st, k):
+                st, _ = actor.rollout_step(params, st, k, temp, cfg, True)
+                return st, None
+
+            state, _ = jax.lax.scan(body, state, jax.random.split(key, chunk))
+            return state
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 64)
+    return analyze("1ply_production", make_step, state, keys, batch, chunk)
+
+
+def twoply():
+    from bench import production_twoply_config
+    from mlp_ppo_2ply_multi_tpu.actor import rollout as actor
+    from mlp_ppo_2ply_multi_tpu.env import vec_env
+    from mlp_ppo_2ply_multi_tpu.learner import td
+
+    cfg = production_twoply_config()
+    batch = 1024
+    key = jax.random.PRNGKey(0)
+    params = td.init_train_state(key, cfg).params
+    state = vec_env.reset(jax.random.fold_in(key, 1), batch)
+    temp = td.temperature(jnp.zeros((), jnp.int32), cfg)
+
+    def make_step():
+        def step_fn(state, key):
+            st, _ = actor.rollout_step(params, state, key, temp, cfg, True)
+            return st
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 64)
+    return analyze("2ply_production", make_step, state, keys, batch, 1)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    out = {"backend": jax.default_backend(), "device": str(jax.devices()[0])}
+    if which in ("peaks", "all"):
+        out["measured_peak_tflops_bf16"] = round(measure_peak_flops(), 1)
+        out["measured_peak_hbm_gbs"] = round(measure_peak_bw(), 1)
+        print(json.dumps({k: out[k] for k in out}), flush=True)
+    if which in ("oneply", "all"):
+        r = oneply()
+        if "measured_peak_tflops_bf16" in out:
+            r["mfu_vs_measured"] = round(
+                r["achieved_tflops"] / out["measured_peak_tflops_bf16"], 4
+            )
+            r["bw_frac_vs_measured"] = round(
+                r["achieved_gbs"] / out["measured_peak_hbm_gbs"], 4
+            )
+        out["oneply"] = r
+        print(json.dumps(r), flush=True)
+    if which in ("twoply", "all"):
+        r = twoply()
+        if "measured_peak_tflops_bf16" in out:
+            r["mfu_vs_measured"] = round(
+                r["achieved_tflops"] / out["measured_peak_tflops_bf16"], 4
+            )
+            r["bw_frac_vs_measured"] = round(
+                r["achieved_gbs"] / out["measured_peak_hbm_gbs"], 4
+            )
+        out["twoply"] = r
+        print(json.dumps(r), flush=True)
+    with open("/tmp/roofline.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
