@@ -75,41 +75,14 @@ def run(batch: int, steps: int, warmup: int = 8, cfg=None, chunk: int = 4) -> fl
 
 
 def production_config() -> Config:
-    """Throughput configuration: the audit-validated fast movegen widths
-    (MoveGenConfig.fast, ~2x above observed maxima — same truncation class as
-    the reference's own 500-move cap, Q7) and a bfloat16 value-net forward
-    (sampling tolerates bf16; checkpoint-parity eval stays f32)."""
-    from mlp_ppo_2ply_multi_tpu.core.config import ModelConfig, MoveGenConfig
-
-    return Config(
-        movegen=MoveGenConfig.fast(),
-        model=ModelConfig(
-            dtype="bfloat16", fused_actor_kernel=True, actor_tier_width=96
-        ),
-    )
+    """Single authority: core/config.py Config.production."""
+    return Config.production()
 
 
 def production_twoply_config() -> Config:
-    """Production actor config + the tuned 2-ply scorer: unrolled rolls and
-    per-die doubles reply widths (small doubles carry the reference's
-    50-reply cap, Q13, so a 64-wide enumeration covers it; big doubles keep
-    the 128 cap; level-width truncation surfaces via the scorer flag).
-    Measured at B=1024 on v5e: 92.2 -> 81.6 ms/step vs the round-3 scan
-    scorer (probe_twoply_phases / PERF.md round 4)."""
-    import dataclasses
-
-    from mlp_ppo_2ply_multi_tpu.core.config import TwoPlyConfig
-
-    tw = TwoPlyConfig(
-        enabled=True,
-        dd_reply_widths=((64, 96, 64, 64),) * 3 + ((64, 128, 128, 128),) * 3,
-        # nd replies at width 96 (default 128): measured on 4096 live
-        # (game, candidate) rows, 3.1% of E[opp] scores change at all, max
-        # |delta| 0.0017 on a [0.16, 1.11] score scale — far below the
-        # sampling temperature; truncation stays flag-visible. +8% step rate.
-        reply_a_max=96,
-    )
-    return production_config().replace(twoply=tw)
+    """Single authority: core/config.py Config.production_twoply (tuned
+    scorer documented at TwoPlyConfig.tuned)."""
+    return Config.production_twoply()
 
 
 def main() -> None:

@@ -73,14 +73,7 @@ def main(argv=None) -> int:
 
     def make_cfg(td_mode):
         if args.twoply_tuned:
-            # mirror bench.production_twoply_config's scorer (inlined: the
-            # installed package cannot import the repo-root bench module)
-            tw = TwoPlyConfig(
-                enabled=True,
-                dd_reply_widths=((64, 96, 64, 64),) * 3
-                + ((64, 128, 128, 128),) * 3,
-                reply_a_max=96,
-            )
+            tw = TwoPlyConfig.tuned()  # single authority with bench.py
         else:
             tw = TwoPlyConfig(enabled=True)
         c = Config(

@@ -325,6 +325,26 @@ class TwoPlyConfig:
     # dedup it avoids. Kept as an option; exactness test stays green.
     value_first_m: int = 0
 
+    @classmethod
+    def tuned(cls) -> "TwoPlyConfig":
+        """The production 2-ply scorer (single authority; bench.py and
+        apps/evaluate --twoply-tuned both import this): unrolled rolls and
+        per-die doubles reply widths — small doubles carry the reference's
+        50-reply cap (Q13) so a 64-wide enumeration covers it; big doubles
+        keep the 128 cap; level-width truncation surfaces via the scorer
+        flag. nd replies at width 96 (default 128): measured on 4096 live
+        (game, candidate) rows, 3.1% of E[opp] scores change at all, max
+        |delta| 0.0017 on a [0.16, 1.11] score scale — far below the
+        sampling temperature (+8% step rate). Quality guard: RESULTS.md
+        "2-ply vs 1-ply" (tuned 58.0% vs exact 56.0% vs 1-ply greedy).
+        Measured at B=1024 on v5e: 92.2 -> 73.8 ms/step vs the round-3 scan
+        scorer (probe_twoply_phases / PERF.md round 4)."""
+        return cls(
+            enabled=True,
+            dd_reply_widths=((64, 96, 64, 64),) * 3 + ((64, 128, 128, 128),) * 3,
+            reply_a_max=96,
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class Config:
@@ -337,3 +357,25 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def production(cls) -> "Config":
+        """Throughput configuration (the bench.py headline config): the
+        audit-validated fast movegen widths (MoveGenConfig.fast, ~2x above
+        observed maxima — same truncation class as the reference's own
+        500-move cap, Q7) and a bfloat16 value-net forward with the fused
+        board->value kernel (sampling tolerates bf16; checkpoint-parity eval
+        stays f32)."""
+        return cls(
+            movegen=MoveGenConfig.fast(),
+            model=ModelConfig(
+                dtype="bfloat16", fused_actor_kernel=True, actor_tier_width=96
+            ),
+        )
+
+    @classmethod
+    def production_twoply(cls) -> "Config":
+        """Production actor config + the tuned 2-ply scorer
+        (TwoPlyConfig.tuned — see its docstring for the measured deltas and
+        the quality guard)."""
+        return cls.production().replace(twoply=TwoPlyConfig.tuned())

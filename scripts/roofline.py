@@ -47,12 +47,12 @@ def measure_peak_flops() -> float:
             x = jnp.dot(x, b, preferred_element_type=jnp.bfloat16)
         return x
 
-    mm(a, b).block_until_ready()
-    t0 = time.perf_counter()
+    np.asarray(mm(a, b)[0, :1])  # host fetch: block_until_ready returns
+    t0 = time.perf_counter()     # early through the tunnel (bench.py note)
     reps = 10
-    for _ in range(reps):
-        r = mm(a, b)
-    r.block_until_ready()
+    rs = [mm(a, b) for _ in range(reps)]
+    for r in rs:
+        np.asarray(r[0, :1])
     dt = time.perf_counter() - t0
     flops = 2 * n * n * n * 4 * reps
     return flops / dt / 1e12
@@ -68,21 +68,20 @@ def measure_peak_bw() -> float:
     def add(a, b):
         return a + b
 
-    add(a, b).block_until_ready()
+    np.asarray(add(a, b)[:1])
     t0 = time.perf_counter()
     reps = 20
-    for _ in range(reps):
-        r = add(a, b)
-    r.block_until_ready()
+    rs = [add(a, b) for _ in range(reps)]
+    for r in rs:
+        np.asarray(r[:1])
     dt = time.perf_counter() - t0
     gbytes = 3 * n * 4 * reps / 1e9
     return gbytes / dt
 
 
-def analyze(name: str, make_step, state, keys, batch: int, steps_per_disp: int):
-    """Compile, cost-analyze, and time one jitted step function."""
-    step = make_step()
-    lowered = step.lower(state, keys[0])
+def analyze(name: str, step, params, state, keys, batch: int, steps_per_disp: int):
+    """Compile, cost-analyze, and time one jitted (params, state, key) step."""
+    lowered = step.lower(params, state, keys[0])
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, list):  # older jax returns [dict]
@@ -99,12 +98,12 @@ def analyze(name: str, make_step, state, keys, batch: int, steps_per_disp: int):
     # warm + time (bench.py discipline: host fetch to defeat async-through-tunnel)
     st = state
     for i in range(3):
-        st = compiled(st, keys[i])
-    jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, jax.tree.leaves(st)[0])
+        st = compiled(params, st, keys[i])
+    np.asarray(jax.tree.leaves(st)[0])
     n = min(30, len(keys) - 3)
     t0 = time.perf_counter()
     for i in range(n):
-        st = compiled(st, keys[3 + i])
+        st = compiled(params, st, keys[3 + i])
     np.asarray(jax.tree.leaves(st)[0])
     dt = time.perf_counter() - t0
     ms_per_disp = dt / n * 1e3
@@ -141,19 +140,17 @@ def oneply():
     state = vec_env.reset(jax.random.fold_in(key, 1), batch)
     temp = td.temperature(jnp.zeros((), jnp.int32), cfg)
 
-    def make_step():
-        def step_fn(state, key):
-            def body(st, k):
-                st, _ = actor.rollout_step(params, st, k, temp, cfg, True)
-                return st, None
+    def step_fn(params, state, key):
+        def body(st, k):
+            st, _ = actor.rollout_step(params, st, k, temp, cfg, True)
+            return st, None
 
-            state, _ = jax.lax.scan(body, state, jax.random.split(key, chunk))
-            return state
+        state, _ = jax.lax.scan(body, state, jax.random.split(key, chunk))
+        return state
 
-        return jax.jit(step_fn, donate_argnums=(0,))
-
+    step = jax.jit(step_fn, donate_argnums=(1,))
     keys = jax.random.split(jax.random.PRNGKey(1), 64)
-    return analyze("1ply_production", make_step, state, keys, batch, chunk)
+    return analyze("1ply_production", step, params, state, keys, batch, chunk)
 
 
 def twoply():
@@ -169,15 +166,13 @@ def twoply():
     state = vec_env.reset(jax.random.fold_in(key, 1), batch)
     temp = td.temperature(jnp.zeros((), jnp.int32), cfg)
 
-    def make_step():
-        def step_fn(state, key):
-            st, _ = actor.rollout_step(params, state, key, temp, cfg, True)
-            return st
+    def step_fn(params, state, key):
+        st, _ = actor.rollout_step(params, state, key, temp, cfg, True)
+        return st
 
-        return jax.jit(step_fn, donate_argnums=(0,))
-
+    step = jax.jit(step_fn, donate_argnums=(1,))
     keys = jax.random.split(jax.random.PRNGKey(1), 64)
-    return analyze("2ply_production", make_step, state, keys, batch, 1)
+    return analyze("2ply_production", step, params, state, keys, batch, 1)
 
 
 def main():
