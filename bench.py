@@ -29,7 +29,14 @@ from mlp_ppo_2ply_multi_tpu.env import vec_env
 from mlp_ppo_2ply_multi_tpu.learner import td
 
 
-def run(batch: int, steps: int, warmup: int = 8, cfg=None, chunk: int = 4) -> float:
+def run(
+    batch: int,
+    steps: int,
+    warmup: int = 8,
+    cfg=None,
+    chunk: int = 4,
+    cost: dict | None = None,
+) -> float:
     """``chunk`` > 1 scans that many env steps per dispatch with the env
     state donated — measured +5% at B=4096 on v5e (fewer state copies;
     scripts/probe_chunked.py). chunk=1 falls back to one step per dispatch
@@ -54,6 +61,16 @@ def run(batch: int, steps: int, warmup: int = 8, cfg=None, chunk: int = 4) -> fl
         return new_state
 
     step = jax.jit(step_fn, donate_argnums=(0,))
+    if cost is not None:
+        # XLA cost analysis of the compiled step (for mfu/achieved_bw_frac;
+        # scripts/roofline.py has the full machinery + measured chip peaks)
+        keys0 = jax.random.split(jax.random.PRNGKey(1), max(chunk, 2))
+        ca = step.lower(state, keys0[0]).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        cost["flops_per_disp"] = float(ca.get("flops", 0.0))
+        cost["hbm_bytes_per_disp"] = float(ca.get("bytes accessed", 0.0))
+        cost["steps_per_disp"] = chunk
 
     import numpy as np
 
@@ -88,7 +105,8 @@ def production_twoply_config() -> Config:
 def main() -> None:
     on_accel = jax.default_backend() not in ("cpu",)
     if on_accel:
-        value = run(batch=4096, steps=50, cfg=production_config())
+        cost = {}
+        value = run(batch=4096, steps=50, cfg=production_config(), cost=cost)
     else:
         # CPU smoke mode: tiny shapes + reduced movegen widths so the run
         # (dominated by XLA compile time) finishes in minutes.
@@ -96,16 +114,22 @@ def main() -> None:
 
         cfg = Config(movegen=MoveGenConfig(w1=16, w2=32, w3=48, w4=64, a_max=64))
         value = run(batch=32, steps=4, warmup=1, cfg=cfg, chunk=1)
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_sec_per_chip_1ply",
-                "value": round(value, 1),
-                "unit": "env-steps/s/chip",
-                "vs_baseline": round(value / 1_000_000.0, 4),
-            }
+        cost = None
+    out = {
+        "metric": "env_steps_per_sec_per_chip_1ply",
+        "value": round(value, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(value / 1_000_000.0, 4),
+    }
+    if cost:
+        # utilization vs v5e datasheet peaks (197 bf16 TFLOP/s, 819 GB/s);
+        # measured chip peaks are ~90% / ~73% of those (PERF.md roofline)
+        disp_per_s = value / (4096 * cost["steps_per_disp"])
+        out["mfu"] = round(cost["flops_per_disp"] * disp_per_s / 197e12, 4)
+        out["achieved_bw_frac"] = round(
+            cost["hbm_bytes_per_disp"] * disp_per_s / 819e9, 4
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

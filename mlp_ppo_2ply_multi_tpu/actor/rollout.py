@@ -168,45 +168,6 @@ def _select_action_tiered(
     return action, wide & ~in_sub
 
 
-def _chosen_tiered(
-    params, state, tiered, key, temperature, cfg: Config
-) -> Tuple[jax.Array, jax.Array]:
-    """Sample a move per plane of a movegen2.Tiered set and return the
-    CHOSEN BOARD directly (vec_env.step_chosen consumes it; the merged
-    [B, A, 52] move tensor never exists). Same softmax(V/T) semantics as
-    select_action; the narrow plane needs no compaction — it IS the tier."""
-    from mlp_ppo_2ply_multi_tpu.ops.fused_value import fused_value
-
-    side0 = cfg.train.td_mode == "side0"
-    k1, k2 = jax.random.split(key)
-    v_obs = value_net.forward(
-        params, encode_board(state.board, state.player), cfg.model
-    )
-
-    # narrow plane: [B, T]
-    p = state.player
-    cand_flag = (1 - p) if side0 else p
-    v1 = fused_value(tiered.narrow_boards.data, cand_flag[..., None], params)
-    if side0:
-        v1 = v1 * jnp.where(p == 0, 1.0, -1.0)[..., None]
-    logits1 = jnp.where(tiered.narrow_valid, v1 / temperature, _NEG)
-    pick1 = jax.random.categorical(k1, logits1, axis=-1)
-    c1 = board_take_onehot(tiered.narrow_boards, pick1[..., None]).data[..., 0, :]
-
-    # wide plane: [Wb, A]
-    wp = tiered.wide_player
-    wflag = (1 - wp) if side0 else wp
-    v2 = fused_value(tiered.wide.boards.data, wflag[..., None], params)
-    if side0:
-        v2 = v2 * jnp.where(wp == 0, 1.0, -1.0)[..., None]
-    logits2 = jnp.where(tiered.wide.valid, v2 / temperature, _NEG)
-    pick2 = jax.random.categorical(k2, logits2, axis=-1)
-    c2 = board_take_onehot(tiered.wide.boards, pick2[..., None]).data[..., 0, :]
-
-    chosen = jnp.where(
-        tiered.in_wide[..., None], jnp.take(c2, tiered.wide_slot, axis=0), c1
-    )
-    return B.Board(data=chosen), v_obs
 
 
 def rollout_step(
@@ -221,12 +182,12 @@ def rollout_step(
     next_dice = vec_env.roll_dice(k_roll, state.player.shape)
     if cfg.movegen.tiered and not cfg.twoply.enabled:
         assert cfg.model.fused_actor_kernel, "tiered pipeline needs the kernel"
-        from mlp_ppo_2ply_multi_tpu.engine import movegen2
+        from mlp_ppo_2ply_multi_tpu.experimental import tiered as xt
 
-        tiered = movegen2.legal_moves_tiered(
+        tiered = xt.legal_moves_tiered(
             state.board, state.player, state.dice, cfg.movegen
         )
-        chosen, v_obs = _chosen_tiered(
+        chosen, v_obs = xt.chosen_tiered(
             params, state, tiered, k_act, temperature, cfg
         )
         res = vec_env.step_chosen(state, tiered.count, chosen, next_dice, cfg.env)

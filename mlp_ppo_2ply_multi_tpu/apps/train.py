@@ -90,7 +90,7 @@ def build_config(args) -> Config:
             ),
         )
     if args.tiered:
-        # two-plane tiered pipeline (movegen2.legal_moves_tiered): the
+        # two-plane tiered pipeline (experimental.tiered.legal_moves_tiered): the
         # merged [B, a_max, 52] move tensor never materializes. The pipeline
         # requires the fused actor kernel (actor.rollout_step asserts it), so
         # enable it here even without --production.

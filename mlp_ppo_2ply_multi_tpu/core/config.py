@@ -141,7 +141,7 @@ class MoveGenConfig:
     nd_sig_dedup: bool = True
     # Run the non-doubles tail (select/take/apply/signature/dedup/filters,
     # movegen2._nd_tail) as ONE fused Pallas kernel with all intermediates
-    # in VMEM (ops/nd_tail.py) instead of the ~40-fusion XLA chain. Requires
+    # in VMEM (experimental/nd_tail.py) instead of the ~40-fusion XLA chain. Requires
     # nd_sig_dedup; applies to the single-pass (non-tier) tail on flat
     # batches — the 2-ply scorer's reply enumeration. Bit-identical keep
     # masks / counts; afterstates identical at kept slots
@@ -157,7 +157,7 @@ class MoveGenConfig:
     # full-width chain. Size from scripts/probe_dd_widths.py.
     dd_tier: Tuple[int, int, int] = ()
     dd_wide_div: int = 8
-    # Tiered pipeline (movegen2.legal_moves_tiered + actor fast path): the
+    # Tiered pipeline (experimental.tiered.legal_moves_tiered + actor fast path): the
     # legal-move set stays two-plane — narrow width-nd_tier plane for every
     # game, full-fidelity legal_moves on a batch/tiered_wide_div sub-batch
     # for the games the narrow enumeration flags — and the merged

@@ -155,7 +155,7 @@ def step_chosen(
 ) -> StepResult:
     """``step`` with the selected afterstate supplied directly.
 
-    The tiered actor pipeline (movegen2.legal_moves_tiered) samples its move
+    The tiered actor pipeline (experimental.tiered.legal_moves_tiered) samples its move
     per plane and takes the chosen board there, so the merged [B, A, 52]
     move tensor never has to exist; the env only needs the legal-move count
     (pass detection, backgammon_env.py:130-140) and the board the mover

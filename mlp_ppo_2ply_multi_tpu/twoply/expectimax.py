@@ -175,7 +175,10 @@ def weighted_opponent_response(
         )
 
     def score_raw(raw, probs_c):
-        """Value-first scoring of an undeduped reply set (RawMoves): values
+        """REJECTED EXPERIMENT (default-off: TwoPlyConfig.value_first_m=0;
+        evidence in core/config.py and experimental/__init__.py).
+
+        Value-first scoring of an undeduped reply set (RawMoves): values
         over all present candidates (max-submove filter applied via the
         exact closed-form has_pair), top-M by value, dedup only those M
         boards, mean of the first top_n distinct. Exact unless more than

@@ -118,6 +118,7 @@ def test_train_cli_continuous_smoke(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_evaluate_cli_smoke(capsys):
     from mlp_ppo_2ply_multi_tpu.apps import evaluate
 
@@ -130,6 +131,7 @@ def test_evaluate_cli_smoke(capsys):
     assert out["games"] == 16
 
 
+@pytest.mark.slow
 def test_train_cli_remote_mirror(tmp_path):
     """--remote-dir mirrors the metrics run and checkpoints to an fsspec URI
     (memory:// here; the reference's S3 streaming analog)."""

@@ -6,10 +6,12 @@ import numpy as np
 from mlp_ppo_2ply_multi_tpu.core.config import Config, MoveGenConfig
 from mlp_ppo_2ply_multi_tpu.eval import arena
 from mlp_ppo_2ply_multi_tpu.learner import td
+import pytest
 
 CFG = Config(movegen=MoveGenConfig(w1=16, w2=48, w3=96, w4=128, a_max=128))
 
 
+@pytest.mark.slow
 def test_random_vs_random_finishes_and_is_balanced():
     params = td.init_train_state(jax.random.PRNGKey(0), CFG).params
     res = arena.play_match(
@@ -28,6 +30,7 @@ def test_random_vs_random_finishes_and_is_balanced():
     assert 0.2 <= s["win_rate_a"] <= 0.8
 
 
+@pytest.mark.slow
 def test_greedy_policy_runs_and_beats_nothing_burger():
     # untrained net vs random: just verify the match runs and reports
     params = td.init_train_state(jax.random.PRNGKey(2), CFG).params

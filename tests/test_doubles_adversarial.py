@@ -41,7 +41,11 @@ try:
 except ImportError:  # pragma: no cover - reference not mounted
     REF = None
 
-pytestmark = pytest.mark.skipif(REF is None, reason="/root/reference not importable")
+pytestmark = [
+    pytest.mark.skipif(REF is None, reason="/root/reference not importable"),
+    # executes the reference implementation position-by-position: minutes-scale
+    pytest.mark.slow,
+]
 
 N_ADV = int(os.environ.get("REF_DIFF_ADV", "250"))
 

@@ -13,6 +13,7 @@ import pytest
 
 from mlp_ppo_2ply_multi_tpu.core.config import MoveGenConfig
 from mlp_ppo_2ply_multi_tpu.engine import movegen2 as MG2
+from mlp_ppo_2ply_multi_tpu.experimental import tiered as XT
 from mlp_ppo_2ply_multi_tpu.oracle import rules
 from tests.helpers import boards_to_jax, jax_board_to_tuple, sample_cases
 
@@ -267,6 +268,7 @@ def test_blocked_select_matches_flat():
             assert bool(jnp.all(jnp.where(o0, i0, 0) == jnp.where(o1, i1, 0)))
 
 
+@pytest.mark.slow
 def test_nd_tier_matches_full():
     """The two-tier nd tail (nd_tier > 0) must produce identical move sets
     to the single full-width pass on a mixed batch. tier=8 is far below the
@@ -306,6 +308,7 @@ def test_nd_tier_matches_full():
             ), (g, k)
 
 
+@pytest.mark.slow
 def test_nd_tier_overflow_fallback():
     """A wide game that misses the sub-batch must keep its tier-width result
     (exact first-T raw candidates through the tail) and raise
@@ -344,6 +347,7 @@ def test_nd_tier_overflow_fallback():
             assert int(ms_t.count[g]) <= 2
 
 
+@pytest.mark.slow
 def test_dd_tier_matches_full():
     """The two-tier doubles expansion (dd_tier non-empty) must produce
     identical move sets to the full-width chain. Narrow widths (8, 8, 8)
@@ -392,6 +396,7 @@ def test_dd_tier_matches_full():
             ), (g, kt, kf)
 
 
+@pytest.mark.slow
 def test_dd_tier_overflow_fallback():
     """A doubles game that overflows the narrow widths AND misses the
     sub-sub-batch keeps its narrow-width result and stays overflow-flagged;
@@ -447,6 +452,7 @@ def _tiered_game_survivors(ti, g):
     ]
 
 
+@pytest.mark.slow
 def test_tiered_matches_legal_moves():
     """legal_moves_tiered must present, game for game, exactly the boards of
     the full-width canonical legal_moves in the same order. nd_tier=8 and
@@ -479,7 +485,7 @@ def test_tiered_matches_legal_moves():
     )
     cfg_full = MoveGenConfig(algo="canonical", dd_subbatch_div=0)
     ti = jax.tree.map(np.asarray, jax.jit(
-        lambda b, p, d: MG2.legal_moves_tiered(b, p, d, cfg_t))(jb, pl, dc))
+        lambda b, p, d: XT.legal_moves_tiered(b, p, d, cfg_t))(jb, pl, dc))
     ms = jax.tree.map(np.asarray, jax.jit(
         lambda b, p, d: MG2.legal_moves(b, p, d, cfg_full))(jb, pl, dc))
 
@@ -494,6 +500,7 @@ def test_tiered_matches_legal_moves():
         assert got == want, g
 
 
+@pytest.mark.slow
 def test_tiered_rollout_step_runs():
     """One tiered-pipeline rollout_step executes on CPU and reports sane
     counts (smoke; numeric behavior is covered by the plane-equivalence

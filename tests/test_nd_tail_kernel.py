@@ -1,4 +1,4 @@
-"""Exactness of the fused non-doubles tail kernel (ops/nd_tail.py,
+"""Exactness of the fused non-doubles tail kernel (experimental/nd_tail.py,
 interpret mode on CPU) against the XLA path (movegen2._nd_tail): identical
 keep masks, counts and overflow, and identical afterstates at every kept
 slot, over positions drawn from real play."""
@@ -14,7 +14,11 @@ from mlp_ppo_2ply_multi_tpu.engine.movegen import legal_moves
 from mlp_ppo_2ply_multi_tpu.env import vec_env
 from mlp_ppo_2ply_multi_tpu.learner import td
 from mlp_ppo_2ply_multi_tpu.actor.rollout import rollout_step
-from mlp_ppo_2ply_multi_tpu.ops.nd_tail import nd_tail_fused
+from mlp_ppo_2ply_multi_tpu.experimental.nd_tail import nd_tail_fused
+import pytest
+
+# rejected nd-tail Pallas kernel exactness (default-off; PERF.md round 4)
+pytestmark = pytest.mark.slow
 
 B = 32
 

@@ -94,6 +94,7 @@ def test_dp_matches_single_device_update():
     assert int(out_sh.version) == int(out_one.version) == 1
 
 
+@pytest.mark.slow
 def test_tp_matches_no_tp():
     """Tensor-parallel (model=2) forward/update must match the pure-DP result
     bitwise-closely: the hidden-axis split changes only summation order."""

@@ -35,7 +35,11 @@ try:
 except ImportError:  # pragma: no cover - reference not mounted
     REF = None
 
-pytestmark = pytest.mark.skipif(REF is None, reason="/root/reference not importable")
+pytestmark = [
+    pytest.mark.skipif(REF is None, reason="/root/reference not importable"),
+    # executes the reference implementation position-by-position: minutes-scale
+    pytest.mark.slow,
+]
 
 N_CASES = int(os.environ.get("REF_DIFF_N", "1200"))
 N_GAMES = int(os.environ.get("REF_DIFF_GAMES", "40"))

@@ -27,6 +27,7 @@ from mlp_ppo_2ply_multi_tpu.learner import td
 from mlp_ppo_2ply_multi_tpu.oracle import sampling
 from mlp_ppo_2ply_multi_tpu.twoply import expectimax
 from tests.helpers import bearoff_doubles_case, boards_to_jax, sample_cases
+import pytest
 
 
 def _nd_roll(rng):
@@ -60,6 +61,7 @@ def _case_batch(rng, n_random=600, n_bear=600, n_blot=600):
     return cases
 
 
+@pytest.mark.slow
 def test_sig_dedup_matches_gram_moveset():
     rng = random.Random(424242)
     cases = _case_batch(rng)
@@ -88,6 +90,7 @@ def test_sig_dedup_matches_gram_moveset():
     assert (n_raw > np.asarray(ms_g.count)).any()
 
 
+@pytest.mark.slow
 def test_sig_dedup_matches_gram_tiered():
     """Same equivalence through the two-tier nd tail (narrow plane + wide
     sub-batch both use the signature path)."""
@@ -114,6 +117,7 @@ def test_sig_dedup_matches_gram_tiered():
     assert (diff == 0).all()
 
 
+@pytest.mark.slow
 def test_sig_dedup_value_first_scorer():
     """weighted_opponent_response: the value-first scorer's top-M dedup via
     signatures equals the boards+Gram variant bit-for-bit (same reply sets,

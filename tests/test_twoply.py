@@ -12,6 +12,7 @@ from mlp_ppo_2ply_multi_tpu.learner import td
 from mlp_ppo_2ply_multi_tpu.oracle import rules
 from mlp_ppo_2ply_multi_tpu.twoply import expectimax
 from tests.helpers import boards_to_jax, sample_cases
+import pytest
 
 CFG = Config(
     movegen=MoveGenConfig(a_max=512),
@@ -46,6 +47,7 @@ def _oracle_wor(params, board, opp_player, cap=50, topn=5):
     return total
 
 
+@pytest.mark.slow
 def test_weighted_opponent_response_matches_oracle():
     params = td.init_train_state(jax.random.PRNGKey(0), CFG).params
     boards, players, _ = sample_cases(seed=42, n=6)
@@ -66,6 +68,7 @@ def test_weighted_opponent_response_matches_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_rollout_with_twoply_enabled_runs():
     from mlp_ppo_2ply_multi_tpu.actor import rollout as actor
     from mlp_ppo_2ply_multi_tpu.env import vec_env
@@ -131,6 +134,7 @@ def test_oriented_values_side0_sign():
         np.testing.assert_allclose(np.asarray(got_ref), np.asarray(raw_ref), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_roll_chunked_scorer_matches_unchunked():
     """weighted_opponent_response with roll_chunk=3 must equal roll_chunk=1
     (the padded tail's probability is zeroed)."""
@@ -163,6 +167,7 @@ def test_roll_chunked_scorer_matches_unchunked():
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_reply_tier_matches_untired():
     """The two-tier reply tail (TwoPlyConfig.reply_nd_tier) must be exact
     when the wide sub-batch covers every game (reply_wide_div=1): tier-1 is

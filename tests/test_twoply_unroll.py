@@ -13,6 +13,7 @@ from mlp_ppo_2ply_multi_tpu.engine.movegen import legal_moves, board_take
 from mlp_ppo_2ply_multi_tpu.env import vec_env
 from mlp_ppo_2ply_multi_tpu.learner import td
 from mlp_ppo_2ply_multi_tpu.twoply import expectimax as tp
+import pytest
 
 B = 16
 
@@ -35,6 +36,7 @@ def _setup(twoply):
     return cfg, params, state, cand
 
 
+@pytest.mark.slow
 def test_unrolled_matches_scan():
     cfg, params, state, cand = _setup(TwoPlyConfig(enabled=True))
     opp = 1 - state.player
@@ -44,6 +46,7 @@ def test_unrolled_matches_scan():
     np.testing.assert_array_equal(np.asarray(w_scan), np.asarray(w_unroll))
 
 
+@pytest.mark.slow
 def test_per_die_widths_flagged_and_close():
     """With generous per-die widths the scores match the uniform config
     wherever the flag is clear."""
