@@ -52,6 +52,13 @@ def main(argv=None) -> int:
                          "replies — bench.production_twoply_config) for "
                          "BOTH sides' twoply policies instead of the exact "
                          "default scorer")
+    ap.add_argument("--opponent-scorer", choices=("same", "tuned", "exact"),
+                    default="same",
+                    help="2-ply scorer for the OPPONENT side only — enables "
+                         "the direct tuned-vs-exact head-to-head quality "
+                         "guard (RESULTS.md): --agent-policy twoply "
+                         "--twoply-tuned --opponent twoply "
+                         "--opponent-scorer exact")
     ap.add_argument("--small-movegen", action="store_true")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                     help="force a JAX backend (must be set before first use)")
@@ -71,8 +78,10 @@ def main(argv=None) -> int:
 
     from mlp_ppo_2ply_multi_tpu.core.config import TrainConfig
 
-    def make_cfg(td_mode):
-        if args.twoply_tuned:
+    def make_cfg(td_mode, scorer="same"):
+        if scorer == "same":
+            scorer = "tuned" if args.twoply_tuned else "exact"
+        if scorer == "tuned":
             tw = TwoPlyConfig.tuned()  # single authority with bench.py
         else:
             tw = TwoPlyConfig(enabled=True)
@@ -87,7 +96,7 @@ def main(argv=None) -> int:
         return c
 
     cfg = make_cfg(args.td_mode)
-    cfg_b = make_cfg(args.opponent_td_mode or args.td_mode)
+    cfg_b = make_cfg(args.opponent_td_mode or args.td_mode, args.opponent_scorer)
 
     params_a = _load(args.checkpoint, cfg)
     policy_a = (

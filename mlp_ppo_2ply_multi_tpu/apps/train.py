@@ -228,8 +228,17 @@ def train_continuous_single(cfg: Config, args, writer: MetricsWriter):
 
 
 def train_continuous(cfg: Config, args, writer: MetricsWriter) -> td.TrainState:
-    """SPMD continuous training over a {data, model} mesh."""
-    if args.data == 1 and args.model == 1:
+    """SPMD continuous training over a {data, model} mesh.
+
+    A 1x1 mesh runs the SAME fused rollout+update program as multi-device
+    meshes — measured 531.8k env-steps/s sustained vs the python-loop
+    pipeline's 274k (PERF.md round 5, training-gap attribution): one jit
+    per update window instead of 64 step dispatches + a 13x64-operand stack
+    + a separate update program. ``--pyloop-rollout`` keeps the old path
+    (useful on toolchains whose scan-of-matmuls compiles pathologically;
+    see actor.rollout_loop)."""
+    if args.pyloop_rollout:
+        assert args.data == 1 and args.model == 1, "--pyloop-rollout is single-device"
         return train_continuous_single(cfg, args, writer)
     mesh = sharding.make_mesh(args.data, args.model)
     tp = args.model > 1
@@ -314,6 +323,13 @@ def main(argv=None) -> int:
     ap.add_argument("--full-widths", action="store_true",
                     help="with --production: keep the full parity movegen "
                          "widths (fast-vs-full quality control arm)")
+    ap.add_argument("--pyloop-rollout", action="store_true",
+                    help="continuous mode: drive the rollout from a python "
+                         "loop + separate update program instead of the "
+                         "fused 1x1-mesh train step (slower — PERF.md "
+                         "round-5 attribution — but avoids scan-of-64 "
+                         "compiles; forced on with --two-ply, whose scorer "
+                         "inside a scan body compiles pathologically)")
     ap.add_argument("--two-ply", action="store_true",
                     help="self-play with the LIVE 2-ply expectimax rerank "
                          "policy (the reference shipped this as dead code, "
@@ -327,6 +343,10 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                     help="force a JAX backend (must be set before first use)")
     args = ap.parse_args(argv)
+    if args.two_ply and args.mode == "continuous":
+        # the 2-ply scorer inside a scan-of-64 body is a compile hazard on
+        # the current toolchain; its demonstrated path is the python loop
+        args.pyloop_rollout = True
     install_signal_handlers()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)

@@ -1,0 +1,134 @@
+"""Attribute the training-mode throughput gap (VERDICT round-4 item 4).
+
+Round-3 RESULTS recorded sustained continuous training at 274k env-steps/s
+vs 494k rollout-only. This probe times each phase of one production update
+cycle (B=4096, steps_per_update=64) separately:
+
+  rollout   — 64 python-loop rollout_loop dispatches + device stack
+  update    — td.update on the [64, B] trajectory
+  get       — jax.device_get of metrics + boundary (tunnel round trips)
+  hist      — writer.param_histograms (device_get params + TB write)
+  memstats  — utils.profiling.device_memory_stats (tunnel query)
+  fused     — the sharding.make_train_step(1-device mesh) program that does
+              rollout+update in ONE jit (the bench_spmd n=1 program)
+
+Run ONE mode per process. Running both in the same process trips a
+toolchain bug: once the python-loop programs (rollout_loop's _jit_step +
+td.update) have compiled, the THIRD call of the shard_map train step dies
+with "Execution supplied 24 buffers but compiled program expected 49" (the
+executable's 25 hoisted closure constants go missing; reproduced on CPU;
+clean processes run the fused step indefinitely).
+
+Usage: python scripts/probe_train_gap.py [pyloop|fused] [updates]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("MLP_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MLP_TPU_PLATFORM"])
+import numpy as np
+
+from bench import production_config
+from mlp_ppo_2ply_multi_tpu.env import vec_env
+from mlp_ppo_2ply_multi_tpu.learner import td
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "pyloop"
+UPDATES = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+B, SPU = 4096, 64
+
+cfg = production_config()
+if jax.default_backend() == "cpu":
+    from mlp_ppo_2ply_multi_tpu.core.config import Config, MoveGenConfig
+
+    cfg = Config(movegen=MoveGenConfig(w1=16, w2=32, w3=48, w4=64, a_max=64))
+    B, SPU = 16, 8
+
+total_steps = UPDATES * B * SPU
+
+
+def run_pyloop():
+    from mlp_ppo_2ply_multi_tpu.actor import rollout as actor
+    from mlp_ppo_2ply_multi_tpu.io.metrics import MetricsWriter
+    from mlp_ppo_2ply_multi_tpu.utils.profiling import device_memory_stats
+
+    key = jax.random.PRNGKey(0)
+    state = td.init_train_state(key, cfg)
+    env_state = vec_env.reset(jax.random.fold_in(key, 1), B)
+    temp = td.temperature(state.version, cfg)
+    writer = MetricsWriter("/tmp/probe_train_gap_runs")
+    acc = {k: 0.0 for k in ("rollout", "update", "get", "hist", "memstats")}
+
+    def tick(name, t0):
+        acc[name] += time.perf_counter() - t0
+        return time.perf_counter()
+
+    # warm
+    env_state, traj = actor.rollout_loop(
+        state.params, env_state, jax.random.PRNGKey(9), temp, cfg, SPU,
+        continuous=True,
+    )
+    _, metrics = td.update(state, traj, cfg)
+    jax.block_until_ready(metrics["loss"])
+
+    k = jax.random.PRNGKey(2)
+    t_all0 = time.perf_counter()
+    for u in range(UPDATES):
+        t0 = time.perf_counter()
+        env_state, traj = actor.rollout_loop(
+            state.params, env_state, jax.random.fold_in(k, u), temp, cfg, SPU,
+            continuous=True,
+        )
+        jax.block_until_ready(traj.reward)
+        t0 = tick("rollout", t0)
+        state, metrics = td.update(state, traj, cfg)
+        jax.block_until_ready(metrics["loss"])
+        t0 = tick("update", t0)
+        _ = jax.device_get(metrics)
+        _ = int(np.sum(np.asarray(jax.device_get(traj.boundary))))
+        t0 = tick("get", t0)
+        writer.param_histograms(u, state.params)
+        t0 = tick("hist", t0)
+        _ = device_memory_stats()
+        t0 = tick("memstats", t0)
+    t_all = time.perf_counter() - t_all0
+    print(f"python-loop pipeline: {UPDATES} updates, {t_all:.2f}s "
+          f"-> {total_steps / t_all:,.0f} env-steps/s sustained")
+    for k_, v in acc.items():
+        print(f"  {k_:9s} {v / UPDATES * 1e3:8.1f} ms/update  "
+              f"({v / t_all * 100:4.1f}%)")
+
+
+def run_fused():
+    from mlp_ppo_2ply_multi_tpu.parallel import sharding
+
+    mesh = sharding.make_mesh(1, 1, devices=jax.devices()[:1])
+    state = sharding.shard_train_state(
+        td.init_train_state(jax.random.PRNGKey(0), cfg), mesh, tp=False
+    )
+    env = sharding.shard_env_state(vec_env.reset(jax.random.PRNGKey(1), B), mesh)
+    step = sharding.make_train_step(mesh, cfg, num_steps=SPU, tp=False)
+    t0 = time.perf_counter()
+    state, env, m = step(state, env, jax.random.PRNGKey(3))
+    jax.block_until_ready(m["loss"])
+    print(f"fused train step compile+first: {time.perf_counter() - t0:.1f}s")
+    k = jax.random.PRNGKey(2)
+    t0 = time.perf_counter()
+    for u in range(UPDATES):
+        state, env, m = step(state, env, jax.random.fold_in(k, 1000 + u))
+        _ = jax.device_get(m)  # same per-update host pull as the real loop
+    dt = time.perf_counter() - t0
+    print(f"fused pipeline: {total_steps / dt:,.0f} env-steps/s sustained "
+          f"({dt / UPDATES * 1e3:.1f} ms/update)")
+
+
+if MODE == "pyloop":
+    run_pyloop()
+elif MODE == "fused":
+    run_fused()
+else:
+    raise SystemExit(f"unknown mode {MODE}")
