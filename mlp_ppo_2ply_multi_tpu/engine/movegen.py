@@ -386,40 +386,52 @@ def board_take(b: Board, idx: jax.Array) -> Board:
     return Board(data=jnp.take_along_axis(b.data, idx[..., None], axis=-2))
 
 
+def _take_int8() -> bool:
+    """One-hot board takes as int8 x int8 -> int32 MXU dots (v5e int8 peak
+    is 2x bf16): measured 2.16ms vs the bf16 einsum's 3.23ms for
+    [4096,128,128]x[4096,128,52] (scripts/probe_pallas_batched_dot.py,
+    round 5) and the int8 selector stream is half the bf16 one's bytes.
+    Exact either way — each output sums exactly one product of ints <= 15.
+    MLP_TAKE_INT8=0 restores the bf16 path (read at trace time) for A/Bs."""
+    import os
+
+    return os.environ.get("MLP_TAKE_INT8", "1") != "0"
+
+
+def _take_einsum(oh: jax.Array, data: jax.Array) -> jax.Array:
+    if _take_int8():
+        out = jnp.einsum(
+            "...kw,...wc->...kc",
+            oh.astype(jnp.int8),
+            data,
+            preferred_element_type=jnp.int32,
+        )
+        return out.astype(jnp.int8)
+    out = jnp.einsum(
+        "...kw,...wc->...kc",
+        oh.astype(jnp.bfloat16),
+        data.astype(jnp.bfloat16),
+        preferred_element_type=jnp.bfloat16,
+    )
+    return out.astype(jnp.int8)
+
+
 def board_take_onehot(b: Board, idx: jax.Array) -> Board:
     """board_take via a one-hot matmul on the MXU.
 
     TPU row gathers measured 18-80ms at [4096, 512] scale; the equivalent
     einsum with a one-hot selector runs in well under 1ms for entry-table
-    widths up to a few hundred. Exact: counts <= 15 are exact in bf16 and
-    each output sums exactly one nonzero product (f32 accumulation).
-    """
+    widths up to a few hundred (dtype/exactness notes: _take_int8)."""
     w = b.data.shape[-2]
-    oh = (idx[..., None] == jnp.arange(w, dtype=jnp.int32)).astype(jnp.bfloat16)
-    # bf16 accumulation is exact here: each output lane sums exactly ONE
-    # nonzero product (a count <= 15), and bf16 holds ints <= 256 exactly —
-    # the f32 variant materialized [.., K, 52] f32 intermediates + layout
-    # copies worth ~0.4ms/step at B=4096 (PERF.md round 2)
-    data = jnp.einsum(
-        "...kw,...wc->...kc",
-        oh,
-        b.data.astype(jnp.bfloat16),
-        preferred_element_type=jnp.bfloat16,
-    )
-    return Board(data=data.astype(jnp.int8))
+    oh = idx[..., None] == jnp.arange(w, dtype=jnp.int32)
+    return Board(data=_take_einsum(oh, b.data))
 
 
 def board_take_oh(b: Board, oh: jax.Array) -> Board:
     """board_take_onehot with a caller-supplied one-hot selector
     bool[..., K, W] (e.g. the boundary-block one-hot already computed by a
     blocked set-bit select) so the selector is built once."""
-    data = jnp.einsum(
-        "...kw,...wc->...kc",
-        oh.astype(jnp.bfloat16),
-        b.data.astype(jnp.bfloat16),
-        preferred_element_type=jnp.bfloat16,  # exact: one nonzero per output
-    )
-    return Board(data=data.astype(jnp.int8))
+    return Board(data=_take_einsum(oh, b.data))
 
 
 def board_where(pred: jax.Array, a: Board, b: Board) -> Board:

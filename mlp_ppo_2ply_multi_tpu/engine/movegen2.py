@@ -61,6 +61,7 @@ from mlp_ppo_2ply_multi_tpu.engine.board import (
 )
 from mlp_ppo_2ply_multi_tpu.engine.movegen import (
     MoveSet,
+    _take_int8,
     N_SLOTS,
     SlotCtx,
     SlotTable,
@@ -136,6 +137,21 @@ def _select_set_bits_blocked(
     )  # rank offset of the boundary block
     r = ks - start  # local rank within the boundary block
     lcs = jnp.cumsum(vi, axis=-1)  # [..., NB, BLOCK]
+    if _take_int8():
+        # int8 x int8 -> int32 MXU dot (exact: one nonzero per output, local
+        # cumsums <= BLOCK <= 54): halves both operand streams and replaces
+        # the f32 [..., width, BLOCK] product + f32 compare of the bf16
+        # version (movegen._take_int8 has the measured A/B and the switch)
+        sel_lcs = jnp.einsum(
+            "...kb,...bj->...kj",
+            oh_b.astype(jnp.int8),
+            lcs.astype(jnp.int8),
+            preferred_element_type=jnp.int32,
+        )
+        loc = jnp.sum((sel_lcs <= r[..., None]).astype(jnp.int32), axis=-1)
+        loc = jnp.minimum(loc, block - 1)
+        ok = ks < total[..., None]
+        return blk, loc, ok, oh_b
     sel_lcs = jnp.einsum(
         "...kb,...bj->...kj",
         oh_b.astype(jnp.bfloat16),
@@ -472,7 +488,8 @@ def enumerate_nondoubles(
     (generate_all_moves.py:25-53). ``passes`` supplies precomputed
     (high-first, low-first) passes built from shared die_tables (the 2-ply
     scorer's fixed-roll fan-out)."""
-    pa, pb, valid, d_hi, d_lo = _nd_candidates(board, player, dice, passes)
+    with jax.named_scope("nd_front"):
+        pa, pb, valid, d_hi, d_lo = _nd_candidates(board, player, dice, passes)
 
     # Back half: compact valid candidates (order preserved == insertion
     # order), materialize afterstates, dedup + filters. Candidate index ->
@@ -499,26 +516,28 @@ def enumerate_nondoubles(
         # filter saw only the prefix) and is flagged via MoveSet.overflow —
         # the same surfaced-truncation class as the Q7 cap.
         n = valid.shape[0]
-        after_n, keep_n, pct_n = _nd_tail(
-            board, pa.b1, pb.b1, valid, player, d_hi, d_lo, T, cfg.a_max,
-            cfg.nd_sig_dedup,
-        )
+        with jax.named_scope("nd_tail_t1"):
+            after_n, keep_n, pct_n = _nd_tail(
+                board, pa.b1, pb.b1, valid, player, d_hi, d_lo, T, cfg.a_max,
+                cfg.nd_sig_dedup,
+            )
         wide = n_pre > T
         wn = max(8, n // cfg.nd_wide_div)
         sel, sel_ok = _select_set_bits(wide, wn)
         valid_w = jnp.take(valid, sel, axis=0) & sel_ok[:, None]
-        after_w, keep_w, pct_w = _nd_tail(
-            _flat_take0(board, sel),
-            _flat_take0(pa.b1, sel),
-            _flat_take0(pb.b1, sel),
-            valid_w,
-            jnp.take(player, sel),
-            jnp.take(d_hi, sel),
-            jnp.take(d_lo, sel),
-            K,
-            cfg.a_max,
-            cfg.nd_sig_dedup,
-        )
+        with jax.named_scope("nd_tail_t2"):
+            after_w, keep_w, pct_w = _nd_tail(
+                _flat_take0(board, sel),
+                _flat_take0(pa.b1, sel),
+                _flat_take0(pb.b1, sel),
+                valid_w,
+                jnp.take(player, sel),
+                jnp.take(d_hi, sel),
+                jnp.take(d_lo, sel),
+                K,
+                cfg.a_max,
+                cfg.nd_sig_dedup,
+            )
         rank = jnp.cumsum(wide.astype(jnp.int32)) - 1
         in_sub = wide & (rank < wn)
         slot = jnp.clip(rank, 0, wn - 1)
@@ -554,10 +573,11 @@ def enumerate_nondoubles(
         after = Board(data=after_d)
         overflow = (n_pre_k > K) | (pct > cfg.a_max)
     else:
-        after, keep, pct = _nd_tail(
-            board, pa.b1, pb.b1, valid, player, d_hi, d_lo, K, cfg.a_max,
-            cfg.nd_sig_dedup,
-        )
+        with jax.named_scope("nd_tail"):
+            after, keep, pct = _nd_tail(
+                board, pa.b1, pb.b1, valid, player, d_hi, d_lo, K, cfg.a_max,
+                cfg.nd_sig_dedup,
+            )
         # truncation observability: candidates lost to the dedup-slot cap or
         # the Q7 presented-action cap
         overflow = (n_pre > K) | (pct > cfg.a_max)
@@ -628,7 +648,8 @@ def enumerate_nondoubles_raw(
 ) -> RawMoves:
     """Non-doubles enumeration WITHOUT the dedup/filter/cap tail (see
     RawMoves); candidate order is still exact reference insertion order."""
-    pa, pb, valid, d_hi, d_lo = _nd_candidates(board, player, dice, passes)
+    with jax.named_scope("nd_front"):
+        pa, pb, valid, d_hi, d_lo = _nd_candidates(board, player, dice, passes)
     after, kok, kpair, sig = _nd_tail_front(
         board, pa.b1, pb.b1, valid, player, d_hi, d_lo, K
     )
@@ -735,15 +756,16 @@ def _expand(
     mover-side-only slot_valid — exact, since every frontier board is
     reachable from the root within the turn."""
     pw = player[..., None]
-    if ctx is None:
-        st = slot_table(front.boards, pw, die[..., None])  # [..., W, 27]
-        valid27 = st.valid
-        rank = _slot_rank(st, pw)
-    else:
-        valid27, last8 = slot_valid(
-            front.boards, pw, die[..., None], ctx_entry_axis(ctx)
-        )
-        rank = _rank_lanes(last8, pw, die[..., None])
+    with jax.named_scope("slotv"):
+        if ctx is None:
+            st = slot_table(front.boards, pw, die[..., None])  # [..., W, 27]
+            valid27 = st.valid
+            rank = _slot_rank(st, pw)
+        else:
+            valid27, last8 = slot_valid(
+                front.boards, pw, die[..., None], ctx_entry_axis(ctx)
+            )
+            rank = _rank_lanes(last8, pw, die[..., None])
     full_cc = _popcount(valid27)  # [..., W]
 
     shorts_valid = front.valid & front.only & (full_cc == 0)
@@ -758,11 +780,13 @@ def _expand(
     # no //27 decode is needed and the boundary one-hot doubles as the
     # parent-gather selector (row gathers measured 5-20ms here; submove
     # params recomputed arithmetically from the slot index).
-    parent, slot, out_ok, oh_p = _select_set_bits_blocked(child_valid, width)
-    pboards = board_take_oh(front.boards, oh_p)
-    pw2 = player[..., None]
-    sg, eg, hg = slot_params(pboards, pw2, die[..., None], slot)
-    nboards = apply_submove(pboards, pw2, sg, eg, hg, out_ok)
+    with jax.named_scope("sel"):
+        parent, slot, out_ok, oh_p = _select_set_bits_blocked(child_valid, width)
+    with jax.named_scope("take"):
+        pboards = board_take_oh(front.boards, oh_p)
+        pw2 = player[..., None]
+        sg, eg, hg = slot_params(pboards, pw2, die[..., None], slot)
+        nboards = apply_submove(pboards, pw2, sg, eg, hg, out_ok)
     # canonical rank of the applied submove (same formula as _slot_rank)
     p32 = jnp.broadcast_to(player.astype(jnp.int32)[..., None], slot.shape)
     adj = jnp.where(p32 == 0, sg, NUM_POINTS - 1 - sg)
@@ -807,9 +831,12 @@ def enumerate_doubles(
         valid=ok1,
     )
 
-    front2, shorts1, ov2 = _expand(front, player, die, cfg.w2, ctx)
-    front3, shorts2, ov3 = _expand(front2, player, die, cfg.w3, ctx)
-    front4, shorts3, ov4 = _expand(front3, player, die, cfg.w4, ctx)
+    with jax.named_scope("dd_L2"):
+        front2, shorts1, ov2 = _expand(front, player, die, cfg.w2, ctx)
+    with jax.named_scope("dd_L3"):
+        front3, shorts2, ov3 = _expand(front2, player, die, cfg.w3, ctx)
+    with jax.named_scope("dd_L4"):
+        front4, shorts3, ov4 = _expand(front3, player, die, cfg.w4, ctx)
 
     has4 = jnp.any(front4.valid, axis=-1)
     a3 = jnp.any(shorts3.valid, axis=-1)

@@ -407,10 +407,11 @@ def _wor_unrolled(
             else:
                 mgr = mg
             nd_pos += 1
-            ms = movegen2.enumerate_nondoubles_batched(
-                boards, opp_k, dice, mgr, passes=(pa, pb)
-            )
-            total = total + score_one(ms, prob, False)
+            with jax.named_scope(f"nd{hi}{lo}"):
+                ms = movegen2.enumerate_nondoubles_batched(
+                    boards, opp_k, dice, mgr, passes=(pa, pb)
+                )
+                total = total + score_one(ms, prob, False)
             if cfg.twoply.nd_reply_widths and ms.overflow is not None:
                 flags = flags | ms.overflow
         else:
@@ -423,10 +424,11 @@ def _wor_unrolled(
             else:
                 mgd = mg
             die = jnp.full(batch_shape, r0, jnp.int32)
-            ms = movegen2.enumerate_doubles_batched(
-                boards, opp_k, die, mgd, s1=at(s1_all, r0 - 1)
-            )
-            total = total + score_one(ms, prob, r0 <= 3)
+            with jax.named_scope(f"dd{r0}"):
+                ms = movegen2.enumerate_doubles_batched(
+                    boards, opp_k, die, mgd, s1=at(s1_all, r0 - 1)
+                )
+                total = total + score_one(ms, prob, r0 <= 3)
             if cfg.twoply.dd_reply_widths and ms.overflow is not None:
                 flags = flags | ms.overflow
     return total, flags

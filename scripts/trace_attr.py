@@ -104,9 +104,14 @@ for line in hlo.splitlines():
 agg = collections.defaultdict(lambda: [0.0, 0, 0])
 for name, ms in times.items():
     b, meta = info.get(name, (0, ""))
-    src = meta or name
-    # strip the jit prefix; keep the semantic tail
-    src = re.sub(r"^jit\(\w+\)/", "", src)
+    # group by the named_scope path (engine phase labels); fall back to the
+    # raw fusion name prefix when no scope tag is present
+    parts = (meta or "").split("/")
+    tag = "/".join(
+        q for q in parts
+        if re.match(r"(nd\d\d|dd\d|nd_front|nd_tail\w*|dd_L\d|slotv|sel|take|roll\d+)$", q)
+    )
+    src = tag or re.sub(r"\.\d+$", "", name)
     agg[src][0] += ms
     agg[src][1] += b
     agg[src][2] += 1
