@@ -124,8 +124,10 @@ def _select_set_bits_blocked(
     own selector).
     """
     nb, block = valid2.shape[-2], valid2.shape[-1]
-    vi = valid2.astype(jnp.int32)
-    c = jnp.sum(vi, axis=-1)  # [..., NB]
+    # the [.., NB, BLOCK] grids stay int8 (local counts <= BLOCK <= 54):
+    # they are the widest streams of this select and int32 quadruples them
+    vi = valid2.astype(jnp.int8)
+    c = jnp.sum(vi, axis=-1, dtype=jnp.int32)  # [..., NB]
     cum = jnp.cumsum(c, axis=-1)  # inclusive
     total = cum[..., -1]
     ks = jnp.arange(width, dtype=jnp.int32)
@@ -136,7 +138,7 @@ def _select_set_bits_blocked(
         jnp.where(oh_b, (cum - c)[..., None, :], 0), axis=-1
     )  # rank offset of the boundary block
     r = ks - start  # local rank within the boundary block
-    lcs = jnp.cumsum(vi, axis=-1)  # [..., NB, BLOCK]
+    lcs = jnp.cumsum(vi, axis=-1)  # int8[..., NB, BLOCK], values <= BLOCK
     if _take_int8():
         # int8 x int8 -> int32 MXU dot (exact: one nonzero per output, local
         # cumsums <= BLOCK <= 54): halves both operand streams and replaces
@@ -145,7 +147,7 @@ def _select_set_bits_blocked(
         sel_lcs = jnp.einsum(
             "...kb,...bj->...kj",
             oh_b.astype(jnp.int8),
-            lcs.astype(jnp.int8),
+            lcs,
             preferred_element_type=jnp.int32,
         )
         loc = jnp.sum((sel_lcs <= r[..., None]).astype(jnp.int32), axis=-1)
@@ -363,9 +365,11 @@ def _nd_tail_front(
     ci = jnp.where(is_pair, bb, loc)
     cj = jnp.where(is_pair, loc, -1)
 
-    first = board_where(
-        cpass == 0, board_take_onehot(b1a, ci), board_take_onehot(b1b, ci)
-    )
+    # one take over the concatenated [.., 54, 52] child table instead of a
+    # take per pass + a full-width board_where merge: same selection, one
+    # fewer [.., K, 52] einsum + materialization per nd roll
+    b1cat = Board(data=jnp.concatenate([b1a.data, b1b.data], axis=-2))
+    first = board_take_onehot(b1cat, ci + cpass * N_SLOTS)
 
     # second-submove parameters recomputed arithmetically on the gathered
     # first-ply boards; compacted cells are valid by construction, so the
@@ -703,7 +707,7 @@ def _slot_rank(st: SlotTable, player: jax.Array) -> jax.Array:
     adj = jnp.where(p == 0, pos, NUM_POINTS - 1 - pos)
     is_off = st.end == BEAR_OFF
     rank = 2 * adj + is_off.astype(jnp.int32)
-    return jnp.where(st.start == BAR, -1, rank)
+    return jnp.where(st.start == BAR, -1, rank).astype(jnp.int8)
 
 
 class _Frontier(NamedTuple):
@@ -730,6 +734,8 @@ def _rank_lanes(last8: jax.Array, player: jax.Array, die: jax.Array) -> jax.Arra
         jnp.where(p == 0, exact, NUM_POINTS - 1 - exact), jnp.shape(last8)
     )
     neg1 = jnp.broadcast_to(jnp.int32(-1), jnp.shape(last8))
+    # int8 lanes: ranks are in [-1, 49]; the [.., W, 27] grid is one of the
+    # widest streams of every dd level expansion (int32 quadruples it)
     return jnp.concatenate(
         [
             2 * adj_i,
@@ -738,7 +744,7 @@ def _rank_lanes(last8: jax.Array, player: jax.Array, die: jax.Array) -> jax.Arra
             (2 * adj_exact + 1)[..., None],
         ],
         axis=-1,
-    )
+    ).astype(jnp.int8)
 
 
 def _expand(
@@ -790,7 +796,7 @@ def _expand(
     # canonical rank of the applied submove (same formula as _slot_rank)
     p32 = jnp.broadcast_to(player.astype(jnp.int32)[..., None], slot.shape)
     adj = jnp.where(p32 == 0, sg, NUM_POINTS - 1 - sg)
-    nrank = jnp.where(sg == BAR, -1, 2 * adj + (eg == BEAR_OFF))
+    nrank = jnp.where(sg == BAR, -1, 2 * adj + (eg == BEAR_OFF)).astype(jnp.int8)
     ponly = jnp.any(oh_p & (full_cc == 1)[..., None, :], axis=-1)
     n_children = jnp.sum(child_valid.astype(jnp.int32), axis=(-1, -2))
     return (
@@ -823,7 +829,7 @@ def enumerate_doubles(
     b1 = apply_submove(b0, pw, sg, eg, hg, ok1)
     p32 = jnp.broadcast_to(player.astype(jnp.int32)[..., None], idx1.shape)
     adj = jnp.where(p32 == 0, sg, NUM_POINTS - 1 - sg)
-    rank1 = jnp.where(sg == BAR, -1, 2 * adj + (eg == BEAR_OFF))
+    rank1 = jnp.where(sg == BAR, -1, 2 * adj + (eg == BEAR_OFF)).astype(jnp.int8)
     front = _Frontier(
         boards=b1,
         last_rank=rank1,

@@ -349,18 +349,19 @@ def _wor_unrolled(
     batch_shape = boards.batch_shape
 
     def score_one(ms, prob: float, cap_active: bool) -> jax.Array:
-        valid = ms.valid
-        if cap_active:
-            rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
-            valid = valid & (rank <= cap)
-        v = oriented_values(params, ms.boards, opp_k[..., None], cfg)
-        v = jnp.where(valid, v, _NEG)
-        top, _ = topk_small(v, topn)
-        present = top > _NEG / 2
-        n = jnp.maximum(jnp.sum(present.astype(jnp.float32), axis=-1), 1.0)
-        avg = jnp.sum(jnp.where(present, top, 0.0), axis=-1) / n
-        has_reply = jnp.any(valid, axis=-1)
-        return jnp.where(has_reply, avg * prob, 0.0)
+        with jax.named_scope("score"):
+            valid = ms.valid
+            if cap_active:
+                rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
+                valid = valid & (rank <= cap)
+            v = oriented_values(params, ms.boards, opp_k[..., None], cfg)
+            v = jnp.where(valid, v, _NEG)
+            top, _ = topk_small(v, topn)
+            present = top > _NEG / 2
+            n = jnp.maximum(jnp.sum(present.astype(jnp.float32), axis=-1), 1.0)
+            avg = jnp.sum(jnp.where(present, top, 0.0), axis=-1) / n
+            has_reply = jnp.any(valid, axis=-1)
+            return jnp.where(has_reply, avg * prob, 0.0)
 
     s1_all, b1_all = movegen2.die_tables(boards, opp_k)
     ctx_all = movegen2.die_ctxs(boards, opp_k)
@@ -390,14 +391,15 @@ def _wor_unrolled(
             hi, lo = max(r0, r1), min(r0, r1)
             d_hi = jnp.full(batch_shape, hi, jnp.int32)
             d_lo = jnp.full(batch_shape, lo, jnp.int32)
-            pa = movegen2._run_pass_pre(
-                at(s1_all, hi - 1), at(b1_all, hi - 1), opp_k, d_lo,
-                ctx=at(ctx_all, lo - 1), stats=at(stats_all, hi - 1),
-            )
-            pb = movegen2._run_pass_pre(
-                at(s1_all, lo - 1), at(b1_all, lo - 1), opp_k, d_hi,
-                ctx=at(ctx_all, hi - 1), stats=at(stats_all, lo - 1),
-            )
+            with jax.named_scope("ndpass"):
+                pa = movegen2._run_pass_pre(
+                    at(s1_all, hi - 1), at(b1_all, hi - 1), opp_k, d_lo,
+                    ctx=at(ctx_all, lo - 1), stats=at(stats_all, hi - 1),
+                )
+                pb = movegen2._run_pass_pre(
+                    at(s1_all, lo - 1), at(b1_all, lo - 1), opp_k, d_hi,
+                    ctx=at(ctx_all, hi - 1), stats=at(stats_all, lo - 1),
+                )
             dice = jnp.broadcast_to(
                 jnp.asarray([r0, r1], jnp.int32), (*batch_shape, 2)
             )
