@@ -288,3 +288,43 @@ def rollout_loop(
 @functools.partial(jax.jit, static_argnames=("cfg", "continuous"))
 def _jit_step(params, state, key, temperature, cfg: Config, continuous: bool):
     return rollout_step(params, state, key, temperature, cfg, continuous)
+
+
+def rollout_chunked(
+    params,
+    state: vec_env.EnvState,
+    key: jax.Array,
+    temperature: jax.Array,
+    cfg: Config,
+    num_steps: int,
+    chunk: int = 4,
+    continuous: bool = True,
+) -> Tuple[vec_env.EnvState, Transition]:
+    """rollout_loop with ``chunk`` steps scanned per dispatch and the env
+    state donated — the bench.py production dispatch discipline (+5% at
+    B=4096 over one step per dispatch) applied to TRAINING rollouts, and
+    num_steps/chunk time-stack programs instead of num_steps.
+
+    The RNG stream differs from rollout/rollout_loop (keys are split per
+    chunk then per step inside the scan), so this is a distinct entry point
+    used by the continuous trainer, not a drop-in for the parity paths.
+    ``num_steps`` must be divisible by ``chunk``."""
+    assert num_steps % chunk == 0
+    ts = []
+    for i in range(num_steps // chunk):
+        key, sub = jax.random.split(key)
+        state, t = _jit_chunk(params, state, sub, temperature, cfg, chunk, continuous)
+        ts.append(t)
+    traj = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *ts)
+    return state, traj
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "chunk", "continuous"), donate_argnums=(1,)
+)
+def _jit_chunk(params, state, key, temperature, cfg: Config, chunk: int, continuous: bool):
+    def body(st, k):
+        st, t = rollout_step(params, st, k, temperature, cfg, continuous)
+        return st, t
+
+    return jax.lax.scan(body, state, jax.random.split(key, chunk))

@@ -23,6 +23,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 
 # Some transitive imports (optax/orbax) may initialize the JAX backend, after
 # which jax_platforms can no longer change — honor the env override first.
@@ -174,9 +175,11 @@ def train_sync(cfg: Config, args, writer: MetricsWriter) -> td.TrainState:
 def train_continuous_single(cfg: Config, args, writer: MetricsWriter):
     """Single-device continuous training driven by a python-loop rollout.
 
-    The lax.scan-based SPMD step compiles pathologically slowly on the
-    current TPU toolchain; this path dispatches one jitted actor step per env
-    step (dispatches pipeline) and runs the fused TD(0) update per window.
+    Dispatches 4-step donated scan chunks (actor.rollout_chunked — the
+    bench.py production discipline) and runs the fused TD(0) update per
+    window. The all-in-one mesh train step is faster when the toolchain
+    supports repeated shard_map calls (--fused-rollout; see
+    train_continuous's docstring for the round-5 regression).
     """
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, per_episode_updates=False)
@@ -196,20 +199,28 @@ def train_continuous_single(cfg: Config, args, writer: MetricsWriter):
             break
         key, k_roll = jax.random.split(key)
         temp = td.temperature(state.version, cfg)
-        env_state, traj = actor.rollout_loop(
+        chunk = 4 if args.steps_per_update % 4 == 0 else 1
+        env_state, traj = actor.rollout_chunked(
             state.params, env_state, k_roll, temp, cfg,
-            args.steps_per_update, continuous=True,
+            args.steps_per_update, chunk=chunk, continuous=True,
         )
         state, metrics = td.update(state, traj, cfg)
+        # ONE host pull per update: fold the episode count into the metrics
+        # pytree instead of a second device_get round trip (~24ms each
+        # through the tunnel)
+        metrics["episodes_done"] = jnp.sum(traj.boundary.astype(jnp.int32))
         metrics = jax.device_get(metrics)
-        eps = int(np.sum(np.asarray(jax.device_get(traj.boundary))))
+        eps = int(metrics.pop("episodes_done"))
         tput.add(episodes=eps, env_steps=cfg.train.batch_games * args.steps_per_update)
         from mlp_ppo_2ply_multi_tpu.utils.profiling import device_memory_stats
 
+        # HBM stats are a tunnel query — sample at the log cadence, not
+        # every update
+        mem = device_memory_stats() if u % max(1, args.log_every) == 0 else {}
         writer.scalars(
             int(state.episode_count),
             {**{k: float(np.mean(v)) for k, v in metrics.items()}, **tput.rates(),
-             "temperature": float(temp), **device_memory_stats()},
+             "temperature": float(temp), **mem},
         )
         if args.histograms_every and u % args.histograms_every == 0:
             writer.param_histograms(int(state.episode_count), state.params)
@@ -230,15 +241,16 @@ def train_continuous_single(cfg: Config, args, writer: MetricsWriter):
 def train_continuous(cfg: Config, args, writer: MetricsWriter) -> td.TrainState:
     """SPMD continuous training over a {data, model} mesh.
 
-    A 1x1 mesh runs the SAME fused rollout+update program as multi-device
-    meshes — measured 531.8k env-steps/s sustained vs the python-loop
-    pipeline's 274k (PERF.md round 5, training-gap attribution): one jit
-    per update window instead of 64 step dispatches + a 13x64-operand stack
-    + a separate update program. ``--pyloop-rollout`` keeps the old path
-    (useful on toolchains whose scan-of-matmuls compiles pathologically;
-    see actor.rollout_loop)."""
-    if args.pyloop_rollout:
-        assert args.data == 1 and args.model == 1, "--pyloop-rollout is single-device"
+    Single-device (data=1, model=1) runs default to the python-loop
+    pipeline with CHUNKED dispatches (actor.rollout_chunked): the fused
+    1x1-mesh train step measured 531.8k env-steps/s in round 4, but on the
+    ROUND-5 toolchain repeated shard_map calls are broken — on the TPU
+    tunnel the SECOND call of any shard_map program hangs forever, and on
+    CPU the third call after other compiled programs fails with missing
+    hoisted-constant buffers (scripts/probe_train_gap.py documents both).
+    ``--fused-rollout`` opts back into the mesh step for toolchains where
+    it works; multi-device meshes have no alternative and keep it."""
+    if args.data == 1 and args.model == 1 and not args.fused_rollout:
         return train_continuous_single(cfg, args, writer)
     mesh = sharding.make_mesh(args.data, args.model)
     tp = args.model > 1
@@ -323,13 +335,14 @@ def main(argv=None) -> int:
     ap.add_argument("--full-widths", action="store_true",
                     help="with --production: keep the full parity movegen "
                          "widths (fast-vs-full quality control arm)")
-    ap.add_argument("--pyloop-rollout", action="store_true",
-                    help="continuous mode: drive the rollout from a python "
-                         "loop + separate update program instead of the "
-                         "fused 1x1-mesh train step (slower — PERF.md "
-                         "round-5 attribution — but avoids scan-of-64 "
-                         "compiles; forced on with --two-ply, whose scorer "
-                         "inside a scan body compiles pathologically)")
+    ap.add_argument("--fused-rollout", action="store_true",
+                    help="continuous single-device mode: use the fused "
+                         "1x1-mesh train step instead of the chunked "
+                         "python-loop pipeline. Faster when it works — "
+                         "but on the round-5 toolchain the second call of "
+                         "any shard_map program hangs the TPU tunnel "
+                         "(PERF.md round 5), so the python loop is the "
+                         "default")
     ap.add_argument("--two-ply", action="store_true",
                     help="self-play with the LIVE 2-ply expectimax rerank "
                          "policy (the reference shipped this as dead code, "
@@ -346,7 +359,7 @@ def main(argv=None) -> int:
     if args.two_ply and args.mode == "continuous":
         # the 2-ply scorer inside a scan-of-64 body is a compile hazard on
         # the current toolchain; its demonstrated path is the python loop
-        args.pyloop_rollout = True
+        args.fused_rollout = False
     install_signal_handlers()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)

@@ -4,7 +4,8 @@ Round-3 RESULTS recorded sustained continuous training at 274k env-steps/s
 vs 494k rollout-only. This probe times each phase of one production update
 cycle (B=4096, steps_per_update=64) separately:
 
-  rollout   — 64 python-loop rollout_loop dispatches + device stack
+  rollout   — 16 donated 4-step scan-chunk dispatches (rollout_chunked,
+              the production pipeline) + device concat
   update    — td.update on the [64, B] trajectory
   get       — jax.device_get of metrics + boundary (tunnel round trips)
   hist      — writer.param_histograms (device_get params + TB write)
@@ -12,12 +13,15 @@ cycle (B=4096, steps_per_update=64) separately:
   fused     — the sharding.make_train_step(1-device mesh) program that does
               rollout+update in ONE jit (the bench_spmd n=1 program)
 
-Run ONE mode per process. Running both in the same process trips a
-toolchain bug: once the python-loop programs (rollout_loop's _jit_step +
-td.update) have compiled, the THIRD call of the shard_map train step dies
-with "Execution supplied 24 buffers but compiled program expected 49" (the
-executable's 25 hoisted closure constants go missing; reproduced on CPU;
-clean processes run the fused step indefinitely).
+Run ONE mode per process. The round-5 toolchain breaks repeated
+shard_map calls two ways: (a) on CPU, after OTHER programs have compiled,
+the third call dies with "Execution supplied 24 buffers but compiled
+program expected 49" (hoisted closure constants go missing); (b) on the
+TPU tunnel the SECOND call of any shard_map program hangs forever — even
+a minimal pmean step in a clean process. Rounds 3-4 ran the same programs
+fine (bench_spmd recorded 531.8k), so this is a toolchain regression, and
+it is why `train --mode continuous` defaults to the chunked python-loop
+pipeline this round (--fused-rollout opts back in).
 
 Usage: python scripts/probe_train_gap.py [pyloop|fused] [updates]
 """
@@ -67,10 +71,11 @@ def run_pyloop():
         acc[name] += time.perf_counter() - t0
         return time.perf_counter()
 
+    chunk = 4 if SPU % 4 == 0 else 1
     # warm
-    env_state, traj = actor.rollout_loop(
+    env_state, traj = actor.rollout_chunked(
         state.params, env_state, jax.random.PRNGKey(9), temp, cfg, SPU,
-        continuous=True,
+        chunk=chunk, continuous=True,
     )
     _, metrics = td.update(state, traj, cfg)
     jax.block_until_ready(metrics["loss"])
@@ -79,9 +84,9 @@ def run_pyloop():
     t_all0 = time.perf_counter()
     for u in range(UPDATES):
         t0 = time.perf_counter()
-        env_state, traj = actor.rollout_loop(
+        env_state, traj = actor.rollout_chunked(
             state.params, env_state, jax.random.fold_in(k, u), temp, cfg, SPU,
-            continuous=True,
+            chunk=chunk, continuous=True,
         )
         jax.block_until_ready(traj.reward)
         t0 = tick("rollout", t0)
