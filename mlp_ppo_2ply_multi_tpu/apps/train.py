@@ -205,12 +205,17 @@ def train_continuous_single(cfg: Config, args, writer: MetricsWriter):
             args.steps_per_update, chunk=chunk, continuous=True,
         )
         state, metrics = td.update(state, traj, cfg)
-        # ONE host pull per update: fold the episode count into the metrics
-        # pytree instead of a second device_get round trip (~24ms each
-        # through the tunnel)
+        # ONE host pull per update, as ONE packed vector: every per-update
+        # scalar — the metrics dict, the episode counters — rides a single
+        # ~24ms tunnel round trip (td.pack_metrics; a leaf-by-leaf dict
+        # fetch costs ~2x that and each extra int(state.episode_count) is
+        # another full round trip)
         metrics["episodes_done"] = jnp.sum(traj.boundary.astype(jnp.int32))
-        metrics = jax.device_get(metrics)
+        metrics["episode_count"] = state.episode_count
+        names, vec = td.pack_metrics(metrics)
+        metrics = dict(zip(names, np.asarray(jax.device_get(vec)).tolist()))
         eps = int(metrics.pop("episodes_done"))
+        ec = int(metrics.pop("episode_count"))
         tput.add(episodes=eps, env_steps=cfg.train.batch_games * args.steps_per_update)
         from mlp_ppo_2ply_multi_tpu.utils.profiling import device_memory_stats
 
@@ -218,20 +223,19 @@ def train_continuous_single(cfg: Config, args, writer: MetricsWriter):
         # every update
         mem = device_memory_stats() if u % max(1, args.log_every) == 0 else {}
         writer.scalars(
-            int(state.episode_count),
-            {**{k: float(np.mean(v)) for k, v in metrics.items()}, **tput.rates(),
-             "temperature": float(temp), **mem},
+            ec,
+            {**metrics, **tput.rates(), "temperature": float(temp), **mem},
         )
         if args.histograms_every and u % args.histograms_every == 0:
-            writer.param_histograms(int(state.episode_count), state.params)
-        if int(state.episode_count) - last_saved >= cfg.train.checkpoint_every_episodes:
+            writer.param_histograms(ec, state.params)
+        if ec - last_saved >= cfg.train.checkpoint_every_episodes:
             ckpt.save(cfg.train.checkpoint_dir, state, key)
-            last_saved = int(state.episode_count)
+            last_saved = ec
         if u % max(1, args.log_every) == 0:
             r = tput.rates()
             print(
-                f"update {u} episodes {int(state.episode_count)} "
-                f"loss {float(np.mean(metrics['loss'])):.5f} "
+                f"update {u} episodes {ec} "
+                f"loss {metrics['loss']:.5f} "
                 f"env-steps/s {r['env_steps_per_sec']:.0f}",
                 flush=True,
             )
@@ -320,10 +324,12 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint-every", type=int, default=50_000)
     ap.add_argument("--metrics-dir", default="runs")
     ap.add_argument("--log-every", type=int, default=10)
-    ap.add_argument("--histograms-every", type=int, default=1,
+    ap.add_argument("--histograms-every", type=int, default=10,
                     help="write weight/bias histograms every N updates "
                          "(reference cadence is every update, "
-                         "trainer.py:222-226); 0 disables")
+                         "trainer.py:222-226 — pass 1 to match; each write "
+                         "pulls every param to the host, ~100ms through the "
+                         "tunnel, so the default samples at 10); 0 disables")
     ap.add_argument("--small-movegen", action="store_true",
                     help="reduced enumeration widths (fast compile, CPU smoke)")
     ap.add_argument("--production", action="store_true",

@@ -242,3 +242,32 @@ def update(state: TrainState, traj: Transition, cfg: Config):
         episode_count=state.episode_count + n_eps,
     )
     return new_state, metrics
+
+
+@functools.lru_cache(maxsize=16)
+def _metrics_packer(names):
+    @jax.jit
+    def pack(metrics):
+        return jnp.stack(
+            [jnp.mean(metrics[n].astype(jnp.float32)) for n in names]
+        )
+
+    return pack
+
+
+def pack_metrics(metrics: Dict[str, jax.Array]):
+    """Stack a dict of device metric leaves into ONE float32 vector.
+
+    On the tunnel backend every device->host transfer is a ~24ms round
+    trip and jax.device_get of a dict fetches leaf by leaf (measured
+    43.7ms for 13 scalars vs 23.2ms for one packed vector,
+    scripts/probe_train_gap.py). The training loop folds every per-update
+    scalar — metrics, episode counters — into one packed fetch. Non-scalar
+    leaves are reduced with mean (MetricsWriter.scalars applied np.mean on
+    the host before this existed).
+
+    Returns (names, vec) with names in sorted order; unpack with
+    ``dict(zip(names, jax.device_get(vec)))``.
+    """
+    names = tuple(sorted(metrics))
+    return names, _metrics_packer(names)(metrics)

@@ -35,6 +35,7 @@ import jax
 
 if os.environ.get("MLP_TPU_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MLP_TPU_PLATFORM"])
+import jax.numpy as jnp
 import numpy as np
 
 from bench import production_config
@@ -51,6 +52,12 @@ if jax.default_backend() == "cpu":
 
     cfg = Config(movegen=MoveGenConfig(w1=16, w2=32, w3=48, w4=64, a_max=64))
     B, SPU = 16, 8
+# mirror train_continuous_single: the fused batched TD update, NOT the Q2
+# parity scan of B sequential Adam steps (838ms/update at B=4096 — a
+# parity-mode cost the production trainer never pays)
+import dataclasses as _dc
+
+cfg = _dc.replace(cfg, train=_dc.replace(cfg.train, per_episode_updates=False))
 
 total_steps = UPDATES * B * SPU
 
@@ -83,7 +90,7 @@ def run_pyloop():
     k = jax.random.PRNGKey(2)
     t_all0 = time.perf_counter()
     for u in range(UPDATES):
-        t0 = time.perf_counter()
+        tu0 = t0 = time.perf_counter()
         env_state, traj = actor.rollout_chunked(
             state.params, env_state, jax.random.fold_in(k, u), temp, cfg, SPU,
             chunk=chunk, continuous=True,
@@ -93,13 +100,21 @@ def run_pyloop():
         state, metrics = td.update(state, traj, cfg)
         jax.block_until_ready(metrics["loss"])
         t0 = tick("update", t0)
-        _ = jax.device_get(metrics)
-        _ = int(np.sum(np.asarray(jax.device_get(traj.boundary))))
+        # the trainer's single packed pull (episode counters folded in)
+        metrics["episodes_done"] = jnp.sum(traj.boundary.astype(jnp.int32))
+        metrics["episode_count"] = state.episode_count
+        names, vec = td.pack_metrics(metrics)
+        _ = dict(zip(names, np.asarray(jax.device_get(vec)).tolist()))
         t0 = tick("get", t0)
-        writer.param_histograms(u, state.params)
+        if u % 10 == 0:  # trainer default --histograms-every 10
+            writer.param_histograms(u, state.params)
         t0 = tick("hist", t0)
         _ = device_memory_stats()
         t0 = tick("memstats", t0)
+        # per-update print: the tunnel's block_until_ready does NOT wait for
+        # a program whose server-side compile is still in flight, so a
+        # front-loaded stall here = compile amortization, not steady state
+        print(f"  update {u}: {time.perf_counter() - tu0:6.2f}s", flush=True)
     t_all = time.perf_counter() - t_all0
     print(f"python-loop pipeline: {UPDATES} updates, {t_all:.2f}s "
           f"-> {total_steps / t_all:,.0f} env-steps/s sustained")
