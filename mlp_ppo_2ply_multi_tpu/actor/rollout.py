@@ -23,9 +23,11 @@ import jax.numpy as jnp
 from mlp_ppo_2ply_multi_tpu.core.config import Config
 from mlp_ppo_2ply_multi_tpu.encoder.features import encode_board
 from mlp_ppo_2ply_multi_tpu.engine import board as B
+from mlp_ppo_2ply_multi_tpu.engine.board import Board
 from mlp_ppo_2ply_multi_tpu.engine.movegen import (
     MoveSet,
     board_take_onehot,
+    board_where,
     legal_moves,
 )
 from mlp_ppo_2ply_multi_tpu.env import vec_env
@@ -132,8 +134,9 @@ def _select_action_tiered(
     a = moves.valid.shape[-1]
 
     # ---- tier 1: [B, tier] compacted candidates ----
-    idx1, ok1 = _select_set_bits_fast(moves.valid, tier)  # [B, tier]
-    t1 = board_take_onehot(moves.boards, idx1)
+    with jax.named_scope("act_t1"):
+        idx1, ok1 = _select_set_bits_fast(moves.valid, tier)  # [B, tier]
+        t1 = board_take_onehot(moves.boards, idx1)
     v1 = fused_value(t1.data, cand_flag[..., None], params)  # [B, tier]
     if sgn is not None:
         v1 = v1 * sgn[..., None]
@@ -145,12 +148,13 @@ def _select_action_tiered(
     )
 
     # ---- tier 2: wide games at full width on a compacted sub-batch ----
-    wide = moves.count > tier
-    wn = max(8, b // cfg.model.actor_tier_wide_div)
-    sel, sel_ok = _select_set_bits(wide, wn)  # [wn]
-    t2_boards = jnp.take(moves.boards.data, sel, axis=0)  # [wn, A, 52]
-    t2_flag = jnp.take(jnp.broadcast_to(cand_flag, (b,)), sel)
-    t2_valid = jnp.take(moves.valid, sel, axis=0) & sel_ok[:, None]
+    with jax.named_scope("act_t2"):
+        wide = moves.count > tier
+        wn = max(8, b // cfg.model.actor_tier_wide_div)
+        sel, sel_ok = _select_set_bits(wide, wn)  # [wn]
+        t2_boards = jnp.take(moves.boards.data, sel, axis=0)  # [wn, A, 52]
+        t2_flag = jnp.take(jnp.broadcast_to(cand_flag, (b,)), sel)
+        t2_valid = jnp.take(moves.valid, sel, axis=0) & sel_ok[:, None]
     v2 = fused_value(t2_boards, t2_flag[..., None], params)  # [wn, A]
     if sgn is not None:
         v2 = v2 * jnp.take(sgn, sel)[..., None]
@@ -168,6 +172,109 @@ def _select_action_tiered(
     return action, wide & ~in_sub
 
 
+
+def _select_action_split(
+    params, sm, cand_flag, sgn, key, temperature, cfg: Config
+):
+    """Two-tier candidate evaluation over SplitMoves planes — sampling-
+    bit-identical to _select_action_tiered over the merged MoveSet (same
+    slot coordinates via the merged valid mask, same board content at every
+    valid slot, same PRNG stream), with the tier-1 takes done INSIDE each
+    plane so the padded merged [B, W, 52] tensor never exists.
+
+    Returns (action in merged-slot coordinates, chosen board [B, 52],
+    overflow flag). The chosen board comes from the tier tensors directly,
+    so the env step needs no full-width take either (vec_env.step_chosen).
+    """
+    from mlp_ppo_2ply_multi_tpu.engine.movegen2 import (
+        _select_set_bits,
+        _select_set_bits_fast,
+    )
+    from mlp_ppo_2ply_multi_tpu.ops.fused_value import fused_value
+
+    tier = cfg.model.actor_tier_width
+    k1, k2 = jax.random.split(key)
+    b = sm.valid.shape[0]
+    W = sm.valid.shape[-1]
+    T = sm.nd_boards.data.shape[-2]
+
+    with jax.named_scope("act_t1"):
+        # merged-slot tier-1 coordinates (identical to the merged path)
+        idx1, ok1 = _select_set_bits_fast(sm.valid, tier)  # [B, tier]
+        # narrow nd plane: same slot positions, T-wide take
+        t1 = board_take_onehot(sm.nd_boards, jnp.minimum(idx1, T - 1))
+        # wide-nd and doubles planes: compact inside the sub-batch (their
+        # valid masks equal the merged rows, so slot selection commutes
+        # with the gather), then fan the [*, tier, 52] result out by row
+        idx1_w, _ = _select_set_bits_fast(sm.ndw_keep, tier)
+        t1_w = board_take_onehot(sm.ndw_boards, idx1_w)
+        idx1_d, _ = _select_set_bits_fast(sm.dd_valid, tier)
+        t1_d = board_take_onehot(sm.dd_boards, idx1_d)
+        t1 = board_where(sm.ndw_in[:, None], _take0_b(t1_w, sm.ndw_slot), t1)
+        t1 = board_where(sm.dd_in[:, None], _take0_b(t1_d, sm.dd_slot), t1)
+    v1 = fused_value(t1.data, cand_flag[..., None], params)  # [B, tier]
+    if sgn is not None:
+        v1 = v1 * sgn[..., None]
+    logits1 = jnp.where(ok1, v1 / temperature, _NEG)
+    pick1 = jax.random.categorical(k1, logits1, axis=-1)  # tier-space index
+    a1 = jnp.sum(
+        jnp.where(pick1[..., None] == jnp.arange(tier), idx1, 0), axis=-1
+    )
+
+    # ---- tier 2: wide games at full width on a compacted sub-batch ----
+    with jax.named_scope("act_t2"):
+        wide = sm.count > tier
+        wn = max(8, b // cfg.model.actor_tier_wide_div)
+        sel, sel_ok = _select_set_bits(wide, wn)  # [wn]
+
+        def pad_boards(bd, w):
+            p = w - bd.data.shape[-2]
+            if p <= 0:
+                return bd
+            return Board(data=jnp.pad(bd.data, ((0, 0), (0, p), (0, 0))))
+
+        # full-width boards for the wn selected rows, from whichever plane
+        # holds each row (narrow nd rows are never wide when tier >= T)
+        ndw_rows = _take0_b(sm.ndw_boards, jnp.take(sm.ndw_slot, sel))
+        dd_rows = _take0_b(sm.dd_boards, jnp.take(sm.dd_slot, sel))
+        t2_boards = pad_boards(ndw_rows, W)
+        if tier < T:
+            nd_rows = _take0_b(sm.nd_boards, sel)
+            t2_boards = board_where(
+                jnp.take(sm.ndw_in, sel)[:, None], t2_boards,
+                pad_boards(nd_rows, W),
+            )
+        t2_boards = board_where(
+            jnp.take(sm.dd_in, sel)[:, None], pad_boards(dd_rows, W), t2_boards
+        )
+        t2_flag = jnp.take(jnp.broadcast_to(cand_flag, (b,)), sel)
+        t2_valid = jnp.take(sm.valid, sel, axis=0) & sel_ok[:, None]
+    v2 = fused_value(t2_boards.data, t2_flag[..., None], params)  # [wn, W]
+    if sgn is not None:
+        v2 = v2 * jnp.take(sgn, sel)[..., None]
+    logits2 = jnp.where(t2_valid, v2 / temperature, _NEG)
+    a2 = jax.random.categorical(k2, logits2, axis=-1)  # [wn]
+
+    rank = jnp.cumsum(wide.astype(jnp.int32)) - 1
+    in_sub = wide & (rank < wn)
+    slot2 = jnp.clip(rank, 0, wn - 1)
+    a2_back = jnp.take(a2, slot2)
+    action = jnp.where(in_sub, a2_back, a1)
+
+    # chosen board straight from the tier tensors (no full-width take)
+    chosen1 = board_take_onehot(t1, pick1[..., None])
+    chosen2 = board_take_onehot(t2_boards, a2[..., None])
+    chosen = board_where(
+        in_sub,
+        Board(data=_take0_b(chosen2, slot2).data[..., 0, :]),
+        Board(data=chosen1.data[..., 0, :]),
+    )
+    return action, chosen, wide & ~in_sub
+
+
+def _take0_b(bd, idx):
+    """Row gather along the leading axis for Board-or-array pytrees."""
+    return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), bd)
 
 
 def rollout_step(
@@ -193,6 +300,27 @@ def rollout_step(
         res = vec_env.step_chosen(state, tiered.count, chosen, next_dice, cfg.env)
         moves_count, moves_overflow = tiered.count, tiered.overflow
         tier_ov = jnp.zeros(state.player.shape, bool)
+    elif cfg.movegen.split_planes and not cfg.twoply.enabled:
+        # plane-form pipeline: the merged [B, W, 52] move tensor never
+        # exists (movegen2.SplitMoves); sampling-bit-identical to the
+        # merged tiered path (tests/test_split_planes.py)
+        assert cfg.model.fused_actor_kernel and cfg.model.actor_tier_width
+        from mlp_ppo_2ply_multi_tpu.engine.movegen2 import legal_moves_split
+
+        sm = legal_moves_split(state.board, state.player, state.dice, cfg.movegen)
+        side0 = cfg.train.td_mode == "side0"
+        cand_flag = (1 - state.player) if side0 else state.player
+        sgn = jnp.where(state.player == 0, 1.0, -1.0) if side0 else None
+        v_obs = value_net.forward(
+            params, encode_board(state.board, state.player), cfg.model
+        )
+        action, chosen, tier_ov = _select_action_split(
+            params, sm, cand_flag, sgn, k_act, temperature, cfg
+        )
+        with jax.named_scope("env_step"):
+            res = vec_env.step_chosen(state, sm.count, chosen, next_dice, cfg.env)
+        moves_count = sm.count
+        moves_overflow = sm.overflow
     else:
         moves = legal_moves(state.board, state.player, state.dice, cfg.movegen)
         tier_ov = jnp.zeros(state.player.shape, bool)
@@ -206,7 +334,8 @@ def rollout_step(
             action, v_obs, tier_ov = select_action(
                 params, state, moves, key=k_act, temperature=temperature, cfg=cfg
             )
-        res = vec_env.step(state, moves, action, next_dice, cfg.env)
+        with jax.named_scope("env_step"):
+            res = vec_env.step(state, moves, action, next_dice, cfg.env)
         moves_count = moves.count
         moves_overflow = (
             moves.overflow

@@ -324,12 +324,12 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint-every", type=int, default=50_000)
     ap.add_argument("--metrics-dir", default="runs")
     ap.add_argument("--log-every", type=int, default=10)
-    ap.add_argument("--histograms-every", type=int, default=10,
-                    help="write weight/bias histograms every N updates "
-                         "(reference cadence is every update, "
-                         "trainer.py:222-226 — pass 1 to match; each write "
-                         "pulls every param to the host, ~100ms through the "
-                         "tunnel, so the default samples at 10); 0 disables")
+    ap.add_argument("--histograms-every", type=int, default=None,
+                    help="write weight/bias histograms every N updates; "
+                         "0 disables. Default: 1 in sync mode (the "
+                         "reference writes per update, trainer.py:222-226) "
+                         "and 10 in continuous mode (each write pulls every "
+                         "param to the host, ~100-200ms through the tunnel)")
     ap.add_argument("--small-movegen", action="store_true",
                     help="reduced enumeration widths (fast compile, CPU smoke)")
     ap.add_argument("--production", action="store_true",
@@ -362,6 +362,8 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                     help="force a JAX backend (must be set before first use)")
     args = ap.parse_args(argv)
+    if args.histograms_every is None:
+        args.histograms_every = 1 if args.mode == "sync" else 10
     if args.two_ply and args.mode == "continuous":
         # the 2-ply scorer inside a scan-of-64 body is a compile hazard on
         # the current toolchain; its demonstrated path is the python loop

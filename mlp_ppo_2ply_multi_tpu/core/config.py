@@ -128,6 +128,13 @@ class MoveGenConfig:
     # full-width pass.
     nd_tier: int = 0
     nd_wide_div: int = 8
+    # Plane-form actor pipeline (movegen2.SplitMoves): the actor consumes
+    # the three natural enumeration planes directly and the padded merged
+    # [B, W, 52] move tensor is never materialized. Sampling-bit-identical
+    # to the merged path (tests/test_split_planes.py); requires nd_tier > 0,
+    # dd_subbatch_div > 0 and the tiered fused actor. Rollout-only switch:
+    # parity/eval consumers (play, trajectory parity, 2-ply) keep MoveSet.
+    split_planes: bool = False
     # Canonical engine: first-occurrence dedup via canonical delta SIGNATURES
     # instead of the board-Gram matmul. A candidate's afterstate differs from
     # the root by (net mover cell-delta multiset, hit-cell multiset), both

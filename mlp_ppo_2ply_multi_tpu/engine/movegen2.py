@@ -481,6 +481,77 @@ def _nd_candidates(
     return pa, pb, valid, d_hi, d_lo
 
 
+class NdPlanes(NamedTuple):
+    """Internals of the two-tier non-doubles tail, exposed so consumers can
+    work on the NARROW planes directly (legal_moves_split) instead of the
+    width-K reconstruction enumerate_nondoubles builds from them."""
+
+    after_n: Board  # [n, T, 52] tier-1 afterstates (exact when n_pre <= T)
+    keep_n: jax.Array  # [n, T]
+    after_w: Board  # [wn, K, 52] full-width tail on the wide sub-batch
+    keep_w: jax.Array  # [wn, K]
+    in_sub: jax.Array  # [n] row's result lives in the wide plane
+    slot: jax.Array  # [n] row index into the wide plane (clipped)
+    overflow: jax.Array  # [n] truncation ledger (Q7 class)
+
+
+def _nd_two_tier(
+    board: Board,
+    pa: _Pass,
+    pb: _Pass,
+    valid: jax.Array,
+    player: jax.Array,
+    d_hi: jax.Array,
+    d_lo: jax.Array,
+    cfg: MoveGenConfig,
+) -> NdPlanes:
+    """Two-tier tail (MoveGenConfig.nd_tier): every per-candidate-slot op
+    of the tail — the width x n select, the one-hot board takes, the
+    submove application, the O(K^2) dedup Gram, the filter cumsums —
+    scales with K while the median decision has ~14 pre-dedup
+    candidates and P(n_pre > 96) ~ 2-4% (PERF.md round 2). Tier 1 runs
+    the whole tail at width T for every game, which is EXACT whenever
+    n_pre <= T (all candidates present, identical order). Tier 2
+    gathers the wide games into a batch/div sub-batch and runs the
+    full-width tail there. A wide game beyond the sub-batch capacity
+    keeps its tier-1 result (exact first-T prefix; its max-submove
+    filter saw only the prefix) and is flagged via overflow — the same
+    surfaced-truncation class as the Q7 cap."""
+    K = cfg.nd_dedup_k
+    T = cfg.nd_tier
+    n_pre = _popcount(valid)
+    n = valid.shape[0]
+    with jax.named_scope("nd_tail_t1"):
+        after_n, keep_n, pct_n = _nd_tail(
+            board, pa.b1, pb.b1, valid, player, d_hi, d_lo, T, cfg.a_max,
+            cfg.nd_sig_dedup,
+        )
+    wide = n_pre > T
+    wn = max(8, n // cfg.nd_wide_div)
+    sel, sel_ok = _select_set_bits(wide, wn)
+    valid_w = jnp.take(valid, sel, axis=0) & sel_ok[:, None]
+    with jax.named_scope("nd_tail_t2"):
+        after_w, keep_w, pct_w = _nd_tail(
+            _flat_take0(board, sel),
+            _flat_take0(pa.b1, sel),
+            _flat_take0(pb.b1, sel),
+            valid_w,
+            jnp.take(player, sel),
+            jnp.take(d_hi, sel),
+            jnp.take(d_lo, sel),
+            K,
+            cfg.a_max,
+            cfg.nd_sig_dedup,
+        )
+    rank = jnp.cumsum(wide.astype(jnp.int32)) - 1
+    in_sub = wide & (rank < wn)
+    slot = jnp.clip(rank, 0, wn - 1)
+    pct = jnp.where(in_sub, jnp.take(pct_w, slot), pct_n)
+    dropped = wide & ~in_sub
+    overflow = (in_sub & ((n_pre > K) | (pct > cfg.a_max))) | dropped
+    return NdPlanes(after_n, keep_n, after_w, keep_w, in_sub, slot, overflow)
+
+
 def enumerate_nondoubles(
     board: Board,
     player: jax.Array,
@@ -507,58 +578,19 @@ def enumerate_nondoubles(
     T = cfg.nd_tier
 
     if T and T < K and valid.ndim == 2:
-        # Two-tier tail (MoveGenConfig.nd_tier): every per-candidate-slot op
-        # of the tail — the width x n select, the one-hot board takes, the
-        # submove application, the O(K^2) dedup Gram, the filter cumsums —
-        # scales with K while the median decision has ~14 pre-dedup
-        # candidates and P(n_pre > 96) ~ 2-4% (PERF.md round 2). Tier 1 runs
-        # the whole tail at width T for every game, which is EXACT whenever
-        # n_pre <= T (all candidates present, identical order). Tier 2
-        # gathers the wide games into a batch/div sub-batch and runs the
-        # full-width tail there. A wide game beyond the sub-batch capacity
-        # keeps its tier-1 result (exact first-T prefix; its max-submove
-        # filter saw only the prefix) and is flagged via MoveSet.overflow —
-        # the same surfaced-truncation class as the Q7 cap.
-        n = valid.shape[0]
-        with jax.named_scope("nd_tail_t1"):
-            after_n, keep_n, pct_n = _nd_tail(
-                board, pa.b1, pb.b1, valid, player, d_hi, d_lo, T, cfg.a_max,
-                cfg.nd_sig_dedup,
-            )
-        wide = n_pre > T
-        wn = max(8, n // cfg.nd_wide_div)
-        sel, sel_ok = _select_set_bits(wide, wn)
-        valid_w = jnp.take(valid, sel, axis=0) & sel_ok[:, None]
-        with jax.named_scope("nd_tail_t2"):
-            after_w, keep_w, pct_w = _nd_tail(
-                _flat_take0(board, sel),
-                _flat_take0(pa.b1, sel),
-                _flat_take0(pb.b1, sel),
-                valid_w,
-                jnp.take(player, sel),
-                jnp.take(d_hi, sel),
-                jnp.take(d_lo, sel),
-                K,
-                cfg.a_max,
-                cfg.nd_sig_dedup,
-            )
-        rank = jnp.cumsum(wide.astype(jnp.int32)) - 1
-        in_sub = wide & (rank < wn)
-        slot = jnp.clip(rank, 0, wn - 1)
+        pl = _nd_two_tier(board, pa, pb, valid, player, d_hi, d_lo, cfg)
         pad = K - T
         after = board_where(
-            in_sub[:, None],
-            _flat_take0(after_w, slot),
-            Board(data=jnp.pad(after_n.data, ((0, 0), (0, pad), (0, 0)))),
+            pl.in_sub[:, None],
+            _flat_take0(pl.after_w, pl.slot),
+            Board(data=jnp.pad(pl.after_n.data, ((0, 0), (0, pad), (0, 0)))),
         )
         keep = jnp.where(
-            in_sub[:, None],
-            jnp.take(keep_w, slot, axis=0),
-            jnp.pad(keep_n, ((0, 0), (0, pad))),
+            pl.in_sub[:, None],
+            jnp.take(pl.keep_w, pl.slot, axis=0),
+            jnp.pad(pl.keep_n, ((0, 0), (0, pad))),
         )
-        pct = jnp.where(in_sub, jnp.take(pct_w, slot), pct_n)
-        dropped = wide & ~in_sub
-        overflow = (in_sub & ((n_pre > K) | (pct > cfg.a_max))) | dropped
+        overflow = pl.overflow
     elif cfg.nd_tail_kernel and cfg.nd_sig_dedup and valid.ndim == 2:
         from mlp_ppo_2ply_multi_tpu.experimental.nd_tail import nd_tail_fused
 
@@ -883,9 +915,12 @@ def enumerate_doubles(
     m4 = level(
         MoveSet(boards=front4.boards, valid=front4.valid, count=None), has4, a_max
     )
-    m3 = level(shorts3, (~has4) & a3, a_max)
-    m2 = level(shorts2, (~has4) & ~a3 & a2, a_max)
-    m1 = level(shorts1, (~has4) & ~a3 & ~a2, a_max)
+    # progressive widths: each shorts level is brought only to the NEXT
+    # level's width before its merge (16 -> 96 -> 224 -> a_max instead of
+    # three merges at full a_max) — ~57% fewer merge bytes, same result
+    m3 = level(shorts3, (~has4) & a3, min(cfg.w3, a_max))
+    m2 = level(shorts2, (~has4) & ~a3 & a2, min(cfg.w2, a_max))
+    m1 = level(shorts1, (~has4) & ~a3 & ~a2, min(cfg.w1, a_max))
 
     def merge(a: MoveSet, b: MoveSet, use_a: jax.Array) -> MoveSet:
         return MoveSet(
@@ -896,9 +931,23 @@ def enumerate_doubles(
             count=jnp.where(use_a, a.count, b.count),
         )
 
-    out = merge(m4, m3, has4)
-    out = merge(out, m2, has4 | ((~has4) & a3))
-    out = merge(out, m1, has4 | a3 | a2)
+    def pad_ms(ms: MoveSet, width: int) -> MoveSet:
+        p = width - ms.valid.shape[-1]
+        if p <= 0:
+            return ms
+        return MoveSet(
+            boards=Board(
+                data=jnp.pad(ms.boards.data, ((0, 0), (0, p), (0, 0)))
+            ),
+            valid=jnp.pad(ms.valid, ((0, 0), (0, p))),
+            count=ms.count,
+        )
+
+    w12 = max(m1.valid.shape[-1], m2.valid.shape[-1])
+    out = merge(pad_ms(m2, w12), pad_ms(m1, w12), a2)
+    w123 = max(w12, m3.valid.shape[-1])
+    out = merge(pad_ms(m3, w123), pad_ms(out, w123), a3)
+    out = merge(m4, pad_ms(out, a_max), has4)
     # any frontier-width drop can lose final moves regardless of which level
     # is ultimately selected (a dropped level-2 entry could have spawned
     # level-4 children); OR in the Q7 cap on the selected level's set —
@@ -1047,16 +1096,117 @@ def legal_moves(
             jnp.pad(valid_, ((0, 0), (0, p))),
         )
 
-    dd_boards, dd_valid = pad_to(dd_boards, dd_valid)
-    nd_boards, nd_valid = pad_to(nd.boards, nd.valid)
-    nd = MoveSet(
-        boards=nd_boards, valid=nd_valid, count=nd.count, overflow=nd.overflow
-    )
-    pred = jnp.broadcast_to(is_double[:, None], nd.valid.shape)
-    out = MoveSet(
-        boards=board_where(pred, dd_boards, nd.boards),
-        valid=jnp.where(pred, dd_valid, nd.valid),
-        count=jnp.where(is_double, dd_count, nd.count),
-        overflow=jnp.where(is_double, dd_overflow, nd.overflow),
-    )
+    with jax.named_scope("mg_merge"):
+        dd_boards, dd_valid = pad_to(dd_boards, dd_valid)
+        nd_boards, nd_valid = pad_to(nd.boards, nd.valid)
+        nd = MoveSet(
+            boards=nd_boards, valid=nd_valid, count=nd.count, overflow=nd.overflow
+        )
+        pred = jnp.broadcast_to(is_double[:, None], nd.valid.shape)
+        out = MoveSet(
+            boards=board_where(pred, dd_boards, nd.boards),
+            valid=jnp.where(pred, dd_valid, nd.valid),
+            count=jnp.where(is_double, dd_count, nd.count),
+            overflow=jnp.where(is_double, dd_overflow, nd.overflow),
+        )
     return _unflatten_moveset(out, batch_shape)
+
+
+class SplitMoves(NamedTuple):
+    """legal_moves without the padded merge: the three natural planes of the
+    production enumeration (narrow nd tier, wide-nd sub-batch, doubles
+    sub-batch) plus the merged per-row facts (valid/count/overflow).
+
+    The merged [n, W, 52] board tensor legal_moves materializes is ~97%
+    padding rows at the production distribution (p50 count 14, tier 96):
+    building it costs a [n, K->W] pad, a [wd -> n] row-gather of the doubles
+    plane, and a full-width board_where — ~0.7GB of HBM traffic per step at
+    B=4096 whose bytes the actor then immediately re-compacts down to
+    [n, 96, 52]. Consumers that sample one move (actor.select_action_split)
+    read the planes directly; the merged VALID mask (bools, ~2MB) is enough
+    to keep slot coordinates and sampling order bit-identical to the merged
+    path. Reference analog: every candidate at full width per decision
+    (env_helper.py:7-24) — the planes are the TPU-shaped replacement.
+    """
+
+    nd_boards: Board  # [n, T, 52] tier-1 nd afterstates
+    nd_keep: jax.Array  # [n, T]
+    ndw_boards: Board  # [wn, K, 52] wide-nd sub-batch
+    ndw_keep: jax.Array  # [wn, K]
+    ndw_in: jax.Array  # [n] row's nd result lives in the wide plane
+    ndw_slot: jax.Array  # [n] row index into the wide plane (clipped)
+    dd_boards: Board  # [wd, A, 52] doubles sub-batch
+    dd_valid: jax.Array  # [wd, A]
+    dd_in: jax.Array  # [n] row is a double resolved in the sub-batch
+    dd_slot: jax.Array  # [n]
+    valid: jax.Array  # [n, W] merged valid mask, bit-equal to legal_moves'
+    count: jax.Array  # [n]
+    overflow: jax.Array  # [n]
+
+
+def legal_moves_split(
+    board: Board, player: jax.Array, dice: jax.Array, cfg: MoveGenConfig
+) -> SplitMoves:
+    """Plane-form legal_moves (SplitMoves docstring). Requires the tiered nd
+    tail (cfg.nd_tier > 0) and the doubles sub-batch; flat [n] batch only."""
+    assert cfg.nd_tier and cfg.nd_tier < cfg.nd_dedup_k, "needs nd_tier"
+    assert cfg.dd_subbatch_div > 0, "needs the doubles sub-batch"
+    batch_shape = board.batch_shape
+    assert len(batch_shape) == 1, "flat batch only"
+    n = batch_shape[0]
+    fplayer = jnp.broadcast_to(player, batch_shape)
+    fdice = jnp.broadcast_to(dice, (*batch_shape, 2))
+    is_double = fdice[:, 0] == fdice[:, 1]
+
+    with jax.named_scope("nd_front"):
+        pa, pb, valid_cells, d_hi, d_lo = _nd_candidates(board, fplayer, fdice)
+    pl = _nd_two_tier(board, pa, pb, valid_cells, fplayer, d_hi, d_lo, cfg)
+
+    # doubles sub-batch — same gather discipline as legal_moves, but the
+    # board plane STAYS in the sub-batch; only the valid mask fans out
+    w_dd = max(8, -(-n // cfg.dd_subbatch_div))
+    sel_idx, sel_ok = _select_set_bits(is_double, w_dd)
+    sub = enumerate_doubles(
+        _flat_take0(board, sel_idx),
+        jnp.take(fplayer, sel_idx),
+        jnp.take(fdice[:, 0].astype(jnp.int32), sel_idx),
+        cfg,
+    )
+    sub_valid = sub.valid & sel_ok[:, None]
+    raw_slot = jnp.cumsum(is_double.astype(jnp.int32)) - 1
+    in_range = raw_slot < w_dd
+    dd_slot = jnp.clip(raw_slot, 0, w_dd - 1)
+    dd_in = is_double & in_range
+
+    # merged facts (bit-equal to legal_moves): bools only, no board bytes
+    W = max(cfg.a_max, cfg.nd_dedup_k, sub.valid.shape[-1])
+    K, T = cfg.nd_dedup_k, cfg.nd_tier
+
+    def pad_w(v):
+        return jnp.pad(v, ((0, 0), (0, W - v.shape[-1])))
+
+    nd_valid = jnp.where(
+        pl.in_sub[:, None],
+        pad_w(jnp.take(pl.keep_w, pl.slot, axis=0)),
+        pad_w(pl.keep_n),
+    )
+    dd_valid_rows = pad_w(jnp.take(sub_valid, dd_slot, axis=0)) & dd_in[:, None]
+    valid = jnp.where(is_double[:, None], dd_valid_rows, nd_valid)
+    count = _popcount(valid)
+    dd_overflow = jnp.where(in_range, jnp.take(sub.overflow, dd_slot), True)
+    overflow = jnp.where(is_double, dd_overflow, pl.overflow)
+    return SplitMoves(
+        nd_boards=pl.after_n,
+        nd_keep=pl.keep_n,
+        ndw_boards=pl.after_w,
+        ndw_keep=pl.keep_w,
+        ndw_in=pl.in_sub,
+        ndw_slot=pl.slot,
+        dd_boards=sub.boards,
+        dd_valid=sub_valid,
+        dd_in=dd_in,
+        dd_slot=dd_slot,
+        valid=valid,
+        count=count,
+        overflow=overflow,
+    )

@@ -83,6 +83,13 @@ def variant_cfg(name: str) -> Config:
         return cfg.replace(
             movegen=dataclasses.replace(cfg.movegen, dd_tier=widths)
         )
+    if name == "split":
+        # round-5: plane-form pipeline — no merged [B, W, 52] move tensor
+        import dataclasses
+
+        return cfg.replace(
+            movegen=dataclasses.replace(cfg.movegen, split_planes=True)
+        )
     if name == "prod_notier":
         # A/B: actor two-tier candidate evaluation OFF (all a_max slots
         # through the fused kernel) — re-validates the round-2 win per chip

@@ -109,7 +109,7 @@ for name, ms in times.items():
     parts = (meta or "").split("/")
     tag = "/".join(
         q for q in parts
-        if re.match(r"(nd\d\d|dd\d|nd_front|nd_tail\w*|dd_L\d|slotv|sel|take|roll\d+)$", q)
+        if re.match(r"(nd\d\d|dd\d|nd_front|nd_tail\w*|dd_L\d|slotv|sel|take|roll\d+|mg_merge|act_t\d|env_step)$", q)
     )
     src = tag or re.sub(r"\.\d+$", "", name)
     agg[src][0] += ms
