@@ -193,7 +193,7 @@ class MoveGenConfig:
         overflow is no longer silent (MoveSet.overflow)."""
         return cls(
             w1=16, w2=96, w3=224, w4=448, a_max=448, nd_dedup_k=288,
-            dd_subbatch_div=4, nd_tier=96, nd_wide_div=8,
+            dd_subbatch_div=4, nd_tier=96, nd_wide_div=8, split_planes=True,
         )
 
 
