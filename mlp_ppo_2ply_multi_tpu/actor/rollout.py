@@ -210,8 +210,14 @@ def _select_action_split(
         t1_w = board_take_onehot(sm.ndw_boards, idx1_w)
         idx1_d, _ = _select_set_bits_fast(sm.dd_valid, tier)
         t1_d = board_take_onehot(sm.dd_boards, idx1_d)
-        t1 = board_where(sm.ndw_in[:, None], _take0_b(t1_w, sm.ndw_slot), t1)
-        t1 = board_where(sm.dd_in[:, None], _take0_b(t1_d, sm.dd_slot), t1)
+        # dd rows and wide-nd rows are disjoint: one gather over the
+        # concatenated sub-batch tensors + one select instead of two each
+        wn_w = t1_w.data.shape[0]
+        t1_wd = Board(data=jnp.concatenate([t1_w.data, t1_d.data], axis=0))
+        slot_wd = jnp.where(sm.dd_in, wn_w + sm.dd_slot, sm.ndw_slot)
+        t1 = board_where(
+            (sm.ndw_in | sm.dd_in)[:, None], _take0_b(t1_wd, slot_wd), t1
+        )
     v1 = fused_value(t1.data, cand_flag[..., None], params)  # [B, tier]
     if sgn is not None:
         v1 = v1 * sgn[..., None]

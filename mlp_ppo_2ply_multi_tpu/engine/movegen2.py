@@ -131,12 +131,46 @@ def _select_set_bits_blocked(
     cum = jnp.cumsum(c, axis=-1)  # inclusive
     total = cum[..., -1]
     ks = jnp.arange(width, dtype=jnp.int32)
-    blk = jnp.sum((cum[..., :, None] <= ks).astype(jnp.int32), axis=-2)
-    blk = jnp.minimum(blk, nb - 1)
+    if nb >= 64 and nb % 8 == 0:
+        # two-level boundary search: the [.., width, NB] compare+reduce for
+        # (blk, start) is the VPU bulk of this select at dd level-4 shapes
+        # ([1024, 224, 27] -> 448: ~2 x 100M int ops). Grouping the NB axis
+        # into G groups of S replaces it with [.., width, G] + [.., width, S]
+        # compares plus two tiny one-hot f32 einsums (exact: every count
+        # fits f32 integers, one nonzero per product row).
+        S = 16 if nb % 16 == 0 else 8
+        G = nb // S
+        cgrp = c.reshape(*c.shape[:-1], G, S)
+        cg = jnp.sum(cgrp, axis=-1)  # [..., G]
+        cumg = jnp.cumsum(cg, axis=-1)
+        le_g = cumg[..., None, :] <= ks[..., :, None]  # [..., width, G]
+        grp = jnp.minimum(jnp.sum(le_g.astype(jnp.int32), axis=-1), G - 1)
+        # rank offset of the boundary GROUP: sum of whole groups before it
+        start_g = jnp.sum(jnp.where(le_g, cg[..., None, :], 0), axis=-1)
+        oh_g = (grp[..., None] == jnp.arange(G, dtype=jnp.int32))
+        cumin = jnp.cumsum(cgrp, axis=-1)  # [..., G, S]
+        ohf = oh_g.astype(jnp.float32)
+        sel_cumin = jnp.einsum("...kg,...gs->...ks", ohf, cumin.astype(jnp.float32))
+        sel_cin = jnp.einsum("...kg,...gs->...ks", ohf, cgrp.astype(jnp.float32))
+        r2 = (ks - start_g).astype(jnp.float32)[..., None]
+        le_s = sel_cumin <= r2  # [..., width, S]
+        blk_loc = jnp.minimum(jnp.sum(le_s.astype(jnp.int32), axis=-1), S - 1)
+        blk = grp * S + blk_loc
+        start = start_g + jnp.sum(
+            jnp.where(le_s, sel_cin, 0.0), axis=-1
+        ).astype(jnp.int32)
+    else:
+        blk = jnp.sum((cum[..., :, None] <= ks).astype(jnp.int32), axis=-2)
+        blk = jnp.minimum(blk, nb - 1)
+        start = jnp.sum(
+            jnp.where(
+                blk[..., None] == jnp.arange(nb, dtype=jnp.int32),
+                (cum - c)[..., None, :],
+                0,
+            ),
+            axis=-1,
+        )  # rank offset of the boundary block
     oh_b = blk[..., None] == jnp.arange(nb, dtype=jnp.int32)  # [..., width, NB]
-    start = jnp.sum(
-        jnp.where(oh_b, (cum - c)[..., None, :], 0), axis=-1
-    )  # rank offset of the boundary block
     r = ks - start  # local rank within the boundary block
     lcs = jnp.cumsum(vi, axis=-1)  # int8[..., NB, BLOCK], values <= BLOCK
     if _take_int8():
