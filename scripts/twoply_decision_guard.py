@@ -179,8 +179,16 @@ def main():
         se = scores[np.arange(n), pick_e]
         st_ = scores[np.arange(n), pick_t]
         regret = se - st_
+        # prove the scorers differ (guard against comparing one config
+        # with itself): distribution of |score_tuned - score_exact| over
+        # presented candidates
+        pres = scores > -1e8
+        delta = np.abs(t["scores"] - scores)[pres]
         out = {
             "positions": int(n),
+            "score_delta_frac_nonzero": float((delta > 0).mean()),
+            "score_delta_mean": float(delta.mean()),
+            "score_delta_max": float(delta.max()),
             "agreement": float(agree.mean()),
             "disagreements": int((~agree).sum()),
             "mean_regret": float(regret.mean()),
