@@ -131,7 +131,7 @@ def _select_set_bits_blocked(
     cum = jnp.cumsum(c, axis=-1)  # inclusive
     total = cum[..., -1]
     ks = jnp.arange(width, dtype=jnp.int32)
-    if nb >= 64 and nb % 8 == 0:
+    if nb >= 48 and nb % 8 == 0:
         # two-level boundary search: the [.., width, NB] compare+reduce for
         # (blk, start) is the VPU bulk of this select at dd level-4 shapes
         # ([1024, 224, 27] -> 448: ~2 x 100M int ops). Grouping the NB axis
