@@ -22,14 +22,15 @@ cd /root/repo
 #  6. Test suite tiered: default <4min, slow tier ~25min.
 #  7. experimental/ quarantine of rejected pipelines.
 
-# REMAINING TPU queue (in order):
-# timeout 2400 python scripts/bench_twoply.py 1024 24         # slimming A/B
-# timeout 2400 python scripts/probe_train_gap.py fused 8      # training number
-# timeout 2400 python scripts/probe_train_gap.py pyloop 8     # gap attribution
-# timeout 2400 python bench.py                                # 1-ply official
-# timeout 3600 python -m mlp_ppo_2ply_multi_tpu.apps.evaluate \
-#   --agent-policy twoply --twoply-tuned --opponent twoply \
-#   --opponent-scorer exact --games 4096                      # direct quality guard
-# timeout 3000 python scripts/trace_attr.py twoply_tuned 1024 60  # post-slim trace
-# stretch: 500k-episode 2-ply self-play run (VERDICT item 10)
-echo "r5 docket is a ledger; run items by hand"
+# ROUND-5 SESSION 2 (2026-08-20) — all queue items resolved:
+#  8. training gap CLOSED: 274k -> ~420k sustained (packed metric pulls,
+#     histogram cadence, fused update; PERF.md round-5 table)
+#  9. split-planes pipeline: official 503.0k -> 523.3k -> 544,974 (with
+#     two-level boundary search); negative results recorded (obs-row fold,
+#     plane-local tier values)
+# 10. direct tuned-vs-exact guard: 100.0% decision agreement, zero regret,
+#     n=4096 (arena impossible on this toolchain — 7/7 TPU worker crashes,
+#     documented in scripts/arena_twoply_parity.py)
+# 11. 2-ply 14,312 -> 15,090; bandwidth envelope formally closed (PERF.md)
+# 12. chunk8 flat vs chunk4; B=8192 still loses (516.7k); docs refreshed
+echo "r5 docket complete; see PERF.md round-5 sections"
