@@ -120,10 +120,14 @@ def build_config(args) -> Config:
 
         # 2-ply self-play training (VERDICT round-2 item 9): the rollout's
         # action selection goes through twoply.select_action_2ply; the
-        # tiered pipeline is 1-ply-only so it is disabled here.
+        # tiered pipeline is 1-ply-only so it is disabled here. With
+        # --production the TUNED scorer drives the rollout (the throughput
+        # config; decision-identical to exact on 4096 guarded positions —
+        # artifacts/twoply_decision_guard.json); otherwise exact.
+        tw = TwoPlyConfig.tuned() if args.production else TwoPlyConfig(enabled=True)
         cfg = dataclasses.replace(
             cfg,
-            twoply=TwoPlyConfig(enabled=True),
+            twoply=tw,
             movegen=dataclasses.replace(cfg.movegen, tiered=False),
         )
     return cfg
